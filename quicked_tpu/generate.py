@@ -1,0 +1,73 @@
+"""Synthetic dataset generation (generate_dataset.c semantics).
+
+Random DNA of length L, extract-with-offset, inject ceil(e*L) random
+mismatch/insertion/deletion errors (plus optional large indels), emit
+(pattern, text) with the shorter sequence as pattern
+(generate_dataset.c:354-417).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Iterator
+
+_ALPHABET = "ACGT"
+
+
+def _generate_errors(seq: list[str], num_errors: int, rng: random.Random):
+    """sequence_generate_errors (generate_dataset.c:170-199)."""
+    for _ in range(num_errors):
+        etype = rng.randrange(3)
+        if etype == 0:  # mismatch
+            while True:
+                pos = rng.randrange(len(seq))
+                ch = _ALPHABET[rng.randrange(4)]
+                if seq[pos] != ch:
+                    break
+            seq[pos] = ch
+        elif etype == 1:  # deletion
+            pos = rng.randrange(len(seq))
+            del seq[pos]
+        else:  # insertion
+            pos = rng.randrange(len(seq))
+            seq.insert(pos, _ALPHABET[rng.randrange(4)])
+    return seq
+
+
+def _generate_indels(seq: list[str], max_indels: int, deletion_length: int,
+                     rng: random.Random):
+    """sequence_generate_indels (generate_dataset.c:226-245)."""
+    indels = rng.randrange(max_indels + 1)
+    for _ in range(indels):
+        if deletion_length >= len(seq):
+            continue
+        pos = rng.randrange(len(seq))
+        del seq[pos:pos + deletion_length]
+    return seq
+
+
+def generate_pairs(num: int, length: int, error: float = 0.04,
+                   length_diff: float = 1.0, indels_num: int = 0,
+                   indels_length: int = 0,
+                   seed: int | None = None) -> Iterator[tuple[str, str]]:
+    """Yield (pattern, text) pairs; the shorter sequence is the pattern."""
+    rng = random.Random(seed)
+    pattern_length = length
+    text_length = math.ceil(pattern_length * length_diff)
+    seqlong_len = max(pattern_length, text_length)
+    seqshort_len = min(pattern_length, text_length)
+    num_errors = int(error) if error >= 1.0 else math.ceil(pattern_length * error)
+    for _ in range(num):
+        seqlong = "".join(_ALPHABET[rng.randrange(4)] for _ in range(seqlong_len))
+        offset = rng.randrange(seqlong_len - seqshort_len + 1)
+        seqshort = list(seqlong[offset:offset + seqshort_len])
+        if num_errors > 0:
+            _generate_errors(seqshort, num_errors, rng)
+        if indels_num > 0:
+            _generate_indels(seqshort, indels_num, indels_length, rng)
+        short = "".join(seqshort)
+        if pattern_length <= text_length:
+            yield short, seqlong
+        else:
+            yield short, seqlong  # shorter is always the pattern

@@ -1,0 +1,76 @@
+"""Quadratic edit-distance DP oracle (edit_dp.c semantics).
+
+Vectorised over columns with the prefix-min trick; used as the
+gold-standard score oracle in tests and as the `edit-dp` /
+`edit-dp-banded` algorithms of the benchmark CLI
+(tools/align_benchmark/edit/edit_dp.c:68-133).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def edit_distance(pattern: str | np.ndarray, text: str | np.ndarray) -> int:
+    """Exact Levenshtein distance, O(n*m) time, O(m) memory."""
+    from quicked_tpu import dna
+
+    p = dna.encode(pattern) if not isinstance(pattern, np.ndarray) else pattern
+    t = dna.encode(text) if not isinstance(text, np.ndarray) else text
+    n, m = len(p), len(t)
+    # Row DP over pattern positions; D[j] = distance(p[:i], t[:j]).
+    row = np.arange(m + 1, dtype=np.int64)
+    jm1 = np.arange(m, dtype=np.int64)
+    for i in range(n):
+        cost = (t != p[i]).astype(np.int64)
+        cand = np.minimum(row[1:] + 1, row[:-1] + cost)  # up / diag
+        new = np.empty(m + 1, dtype=np.int64)
+        new[0] = i + 1
+        # left-move closure as a prefix min of (value - index), vectorised:
+        run = np.minimum.accumulate(cand - jm1)
+        new[1:] = np.minimum(cand, run + jm1)
+        # account left-move from column 0 boundary
+        new[1:] = np.minimum(new[1:], new[0] + 1 + jm1)
+        row = new
+    return int(row[m])
+
+
+def edit_dp_matrix(pattern: str, text: str) -> np.ndarray:
+    """Full DP matrix (rows = pattern+1, cols = text+1)."""
+    from quicked_tpu import dna
+
+    p = dna.encode(pattern)
+    t = dna.encode(text)
+    n, m = len(p), len(t)
+    D = np.zeros((n + 1, m + 1), dtype=np.int64)
+    D[0, :] = np.arange(m + 1)
+    D[:, 0] = np.arange(n + 1)
+    for i in range(1, n + 1):
+        cost = (t != p[i - 1]).astype(np.int64)
+        cand = np.minimum(D[i - 1, 1:] + 1, D[i - 1, :-1] + cost)
+        jm1 = np.arange(m, dtype=np.int64)
+        run = np.minimum.accumulate(cand - jm1)
+        D[i, 1:] = np.minimum(cand, run + jm1)
+        D[i, 1:] = np.minimum(D[i, 1:], D[i, 0] + 1 + jm1)
+    return D
+
+
+def edit_dp_traceback(D: np.ndarray, pattern: str, text: str) -> str:
+    """Traceback following the reference tie-break
+    (edit_dp.c:32-67: deletion, then insertion, then match/mismatch)."""
+    v, h = len(pattern), len(text)
+    ops = []
+    while v > 0 and h > 0:
+        if D[v, h] == D[v - 1, h] + 1:
+            ops.append("D")
+            v -= 1
+        elif D[v, h] == D[v, h - 1] + 1:
+            ops.append("I")
+            h -= 1
+        else:
+            ops.append("M" if pattern[v - 1] == text[h - 1] else "X")
+            v -= 1
+            h -= 1
+    ops.extend("D" * v)
+    ops.extend("I" * h)
+    return "".join(ops)[::-1]

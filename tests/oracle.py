@@ -1,0 +1,64 @@
+"""Locate (or build) the C reference binaries used as the parity oracle.
+
+The reference source is mounted read-only at /root/reference; we build it
+into .oracle/ inside this repo (never writing to the reference tree) and
+cache the binaries there.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE_BIN = os.path.join(REPO, ".oracle", "bin")
+REFERENCE = "/root/reference"
+
+
+def _build() -> bool:
+    if not os.path.isdir(REFERENCE):
+        return False
+    src = os.path.join(REPO, ".oracle", "src")
+    build = os.path.join(REPO, ".oracle", "build2")
+    try:
+        if not os.path.isdir(src):
+            shutil.copytree(REFERENCE, src)
+        subprocess.run(["cmake", "-S", src, "-B", build,
+                        "-DCMAKE_BUILD_TYPE=Release"],
+                       check=True, capture_output=True)
+        subprocess.run(["cmake", "--build", build, "-j", "4"],
+                       check=True, capture_output=True)
+        os.makedirs(ORACLE_BIN, exist_ok=True)
+        for name in ("align_benchmark", "generate_dataset", "quicked_harness"):
+            p = os.path.join(src, "bin", name)
+            if os.path.exists(p):
+                shutil.copy2(p, os.path.join(ORACLE_BIN, name))
+        return True
+    except (subprocess.CalledProcessError, OSError):
+        return False
+
+
+def oracle_path(name: str) -> str | None:
+    """Path to an oracle binary ('align_benchmark', 'quicked_harness',
+    'generate_dataset'), building on first use; None if unavailable."""
+    p = os.path.join(ORACLE_BIN, name)
+    if os.path.exists(p):
+        return p
+    if _build():
+        p = os.path.join(ORACLE_BIN, name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def run_align_benchmark(algorithm: str, seq_path: str, out_path: str,
+                        extra_args: list[str] | None = None) -> str:
+    """Run the oracle align_benchmark, return the output file contents."""
+    bench = oracle_path("align_benchmark")
+    assert bench is not None, "oracle align_benchmark unavailable"
+    cmd = [bench, "-a", algorithm, "-i", seq_path, "-o", out_path, "-q"]
+    cmd += extra_args or []
+    subprocess.run(cmd, check=True, capture_output=True)
+    with open(out_path) as f:
+        return f.read()

@@ -1,0 +1,74 @@
+"""L0 unit tests: DNA encoding, CIGAR utilities, IO, generator."""
+
+import io
+
+import numpy as np
+import pytest
+
+from quicked_tpu import dna, seqio, generate
+from quicked_tpu.cigar import Cigar
+from quicked_tpu.params import QuickedStatus, check_error, status_msg
+
+
+def test_dna_encode():
+    enc = dna.encode("ACGTNacgtnZ@")
+    assert list(enc) == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 4, 4]
+    assert dna.decode(enc[:5]) == "ACGTN"
+
+
+def test_status():
+    assert check_error(QuickedStatus.QUICKED_EMPTY_SEQUENCE)
+    assert not check_error(QuickedStatus.QUICKED_WIP)
+    assert "empty sequence" in status_msg(QuickedStatus.QUICKED_EMPTY_SEQUENCE)
+
+
+def test_cigar_roundtrip():
+    c = Cigar.from_rle("5M1X2I3D")
+    assert c.operations == "MMMMMXIIDDD"
+    assert c.score_edit() == 6
+    assert c.sprint(True) == "5M1X2I3D"
+    assert c.sprint(False) == "1X2I3D"
+    assert c.sprint_sam(False) == "6M2I3D"
+    assert c.sprint_sam(True) == "5=1X2I3D"
+
+
+def test_cigar_check():
+    #   pattern GAT, text GTT -> M X M
+    c = Cigar(operations="MXM")
+    assert c.check_alignment("GAT", "GTT")
+    assert not c.check_alignment("GAT", "GAT")  # X where chars equal
+    assert not Cigar(operations="MM").check_alignment("GAT", "GTT")
+
+
+def test_cigar_cmp():
+    a = Cigar(operations="MMX")
+    b = Cigar(operations="MMX")
+    assert a.cmp(b) == 0 and a == b
+    assert a.cmp(Cigar(operations="MMI")) != 0
+
+
+def test_seqio_roundtrip():
+    buf = io.StringIO()
+    pairs = [("ACGT", "ACGG"), ("TTTT", "TTAT")]
+    seqio.write_seq_pairs(buf, pairs)
+    buf.seek(0)
+    assert list(seqio.read_seq_pairs(buf)) == pairs
+
+
+def test_generator_properties():
+    pairs = list(generate.generate_pairs(20, 100, error=0.1, seed=7))
+    assert len(pairs) == 20
+    for pat, text in pairs:
+        assert len(text) == 100
+        assert set(pat) <= set("ACGT")
+        # pattern is derived from text with ~10 errors
+        assert abs(len(pat) - 100) <= 10
+
+
+def test_generator_length_diff():
+    pairs = list(generate.generate_pairs(5, 100, error=0.0, length_diff=1.5,
+                                         seed=1))
+    for pat, text in pairs:
+        assert len(text) == 150
+        assert len(pat) == 100
+        assert pat in text  # extracted, no errors
