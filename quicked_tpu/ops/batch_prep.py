@@ -1,0 +1,176 @@
+"""Host-side batch preparation for the banded kernels.
+
+Packs a heterogeneous batch of pairs into fixed-shape device arrays:
+per-pair band geometry (banded_matrix_allocate semantics,
+bpm_banded.c:112-135) is carried as lane vectors, and the PEQ is laid out
+in the *shifted band frame*: row k of the shifted PEQ holds pattern block
+(k - prolog_p), so the kernel's block index k = column_block + band_block
+is uniform across lanes (no per-lane gathers on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from quicked_tpu import dna
+from quicked_tpu.ops.myers_np import band_geometry, div_ceil, W
+
+TOPBIT_HI = np.uint32(0x80000000)
+
+
+def _pack_peq_words(enc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pattern -> PEQ bit-words. Returns (lo, hi) of shape (num_words, 5)
+    uint32, with the tail padded to all-ones (bpm_banded.c:77-86)."""
+    n = len(enc)
+    num_words = max(div_ceil(n, W), 1)
+    bits = np.zeros((num_words * W, 5), dtype=bool)
+    bits[np.arange(n), enc] = True
+    bits[n:, :] = True  # tail padding: match everything
+    bits = bits.reshape(num_words, 2, 32, 5)
+    weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))[None, :, None]
+    lo = (bits[:, 0].astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
+    hi = (bits[:, 1].astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
+    return lo, hi
+
+
+@dataclasses.dataclass
+class BandedBatch:
+    """Fixed-shape arrays for one kernel invocation (one bucket)."""
+
+    # static shape params
+    B: int
+    EBB: int          # static band blocks (max over batch)
+    NB: int           # number of 64-column blocks
+    K: int            # shifted-frame rows = NB + EBB
+    full: bool        # full-matrix (traceback) variant?
+    # device arrays (numpy here; moved to device by the caller)
+    peq_lo: np.ndarray       # (K, 5, B) u32
+    peq_hi: np.ndarray
+    lm_lo: np.ndarray        # (K, B) u32
+    lm_hi: np.ndarray
+    text: np.ndarray         # (NB*64, B) i32
+    init_scores: np.ndarray  # (EBB+1, B) i32 — initial scores window
+    cutoff: np.ndarray       # (B,) i32
+    prolog: np.ndarray
+    nbr: np.ndarray          # pattern num-block-rows
+    finish_v: np.ndarray
+    tfinish: np.ndarray
+    first0: np.ndarray
+    last0: np.ndarray
+    plen: np.ndarray
+    tlen: np.ndarray
+
+
+def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,
+                         text_finish=None, pad_to_b: int | None = None,
+                         min_nb: int | None = None,
+                         min_ebb: int | None = None) -> BandedBatch:
+    """Build a BandedBatch from python-level pairs.
+
+    patterns/texts: list of str or encoded uint8 arrays.
+    cutoffs: per-pair cutoff scores (before the >=65 floor).
+    text_finish: per-pair processed-column counts (Hirschberg midpoints);
+    defaults to the full text length.
+    """
+    n = len(patterns)
+    assert len(texts) == n and len(cutoffs) == n
+    enc_p = [p if isinstance(p, np.ndarray) else dna.encode(p) for p in patterns]
+    enc_t = [t if isinstance(t, np.ndarray) else dna.encode(t) for t in texts]
+    plen = np.array([len(p) for p in enc_p], dtype=np.int32)
+    tlen = np.array([len(t) for t in enc_t], dtype=np.int32)
+    if text_finish is None:
+        text_finish = tlen.copy()
+    text_finish = np.asarray(text_finish, dtype=np.int32)
+
+    geos = [band_geometry(int(plen[i]), int(tlen[i]), int(cutoffs[i]))
+            for i in range(n)]
+    if full:
+        ebb_p = np.array([g.ebb for g in geos], dtype=np.int32)
+    else:
+        # score-only kernel derives its own width (bpm_banded.c:801-803)
+        ebb_p = np.array([div_ceil(g.cutoff, W) + 1 for g in geos], dtype=np.int32)
+    prolog = np.array([g.prolog for g in geos], dtype=np.int32)
+    cutoff = np.array([g.cutoff for g in geos], dtype=np.int32)
+    finish_v = np.array([g.prolog * W + g.diff for g in geos], dtype=np.int32)
+    nbr = np.maximum(np.array([div_ceil(int(L), W) for L in plen],
+                              dtype=np.int32), 1)
+
+    B = pad_to_b or n
+    assert B >= n
+    EBB = int(ebb_p.max())
+    if min_ebb:
+        EBB = max(EBB, min_ebb)
+    NB = max(div_ceil(int(text_finish.max()), W), 1)
+    if min_nb:
+        NB = max(NB, min_nb)
+    K = NB + EBB
+
+    peq_lo = np.zeros((K, 5, B), dtype=np.uint32)
+    peq_hi = np.zeros((K, 5, B), dtype=np.uint32)
+    lm_lo = np.zeros((K, B), dtype=np.uint32)
+    lm_hi = np.zeros((K, B), dtype=np.uint32)
+    text = np.zeros((NB * W, B), dtype=np.int32)
+
+    for b in range(n):
+        lo, hi = _pack_peq_words(enc_p[b])
+        nw = lo.shape[0]
+        pr = int(prolog[b])
+        end = min(pr + nw, K)
+        peq_lo[pr:end, :, b] = lo[: end - pr]
+        peq_hi[pr:end, :, b] = hi[: end - pr]
+        # padding rows (outside the pattern) match everything
+        peq_lo[:pr, :, b] = 0xFFFFFFFF
+        peq_hi[:pr, :, b] = 0xFFFFFFFF
+        peq_lo[end:, :, b] = 0xFFFFFFFF
+        peq_hi[end:, :, b] = 0xFFFFFFFF
+        # level masks (bpm_banded.c:88-102): top bit everywhere except the
+        # final pattern block when the length is not a multiple of 64.
+        lm_hi[:, b] = TOPBIT_HI
+        mod = int(plen[b]) % W
+        if mod > 0:
+            top = pr + nw - 1
+            if top < K:
+                lm_lo[top, b] = np.uint32(1 << (mod - 1)) if mod <= 32 else 0
+                lm_hi[top, b] = np.uint32(1 << (mod - 1 - 32)) if mod > 32 \
+                    else 0
+        tl = int(text_finish[b])
+        text[:tl, b] = enc_t[b][:tl].astype(np.int32)
+
+    # Initial scores window covers shifted rows k in [0, EBB+1):
+    # value (k - prolog + 1) * 64 (bpm_reset_search, bpm_banded.c:180-197;
+    # rows not in [prolog, prolog+ebb) are don't-cares / fallback inits).
+    k_idx = np.arange(EBB + 1, dtype=np.int32)[:, None]
+    init_scores = ((k_idx - prolog[None, :n] + 1) * W).astype(np.int32)
+    init_full = np.zeros((EBB + 1, B), dtype=np.int32)
+    init_full[:, :n] = init_scores
+
+    def vec(x, fill=0):
+        out = np.full(B, fill, dtype=np.int32)
+        out[:n] = x
+        return out
+
+    return BandedBatch(
+        B=B, EBB=EBB, NB=NB, K=K, full=full,
+        peq_lo=peq_lo, peq_hi=peq_hi, lm_lo=lm_lo, lm_hi=lm_hi, text=text,
+        init_scores=init_full,
+        cutoff=vec(cutoff, fill=65), prolog=vec(prolog),
+        nbr=vec(nbr, fill=1), finish_v=vec(finish_v),
+        tfinish=vec(text_finish), first0=vec(prolog),
+        last0=vec(ebb_p - 1, fill=0), plen=vec(plen, fill=1),
+        tlen=vec(tlen, fill=1),
+    )
+
+
+def extract_final_scores(batch: BandedBatch, scores_by_k: np.ndarray) -> np.ndarray:
+    """Final-cell score per pair (bpm_banded.c:952-960).
+
+    scores_by_k: (K+1, B) scores indexed by shifted row k.
+    """
+    plen = batch.plen.astype(np.int64)
+    mod = plen % W
+    final_block = np.where(mod != 0, plen // W, (plen - 1) // W)
+    final_k = (final_block + batch.prolog).astype(np.int64)
+    vals = np.take_along_axis(np.asarray(scores_by_k), final_k[None, :], axis=0)[0]
+    return (vals - np.where(mod != 0, W - mod, 0)).astype(np.int64)

@@ -67,6 +67,7 @@ def advance_block(Eq: int, mask: int, Pv: int, Mv: int, PHin: int, MHin: int):
 @dataclasses.dataclass
 class Pattern:
     enc: np.ndarray           # encoded pattern (uint8, 5-letter)
+    raw: np.ndarray           # raw bytes (uint8) — tracebacks compare RAW
     length: int
     num_words: int            # ceil(length/64)
     mod: int                  # length % 64
@@ -75,7 +76,13 @@ class Pattern:
 
 
 def compile_pattern(pattern: str | np.ndarray) -> Pattern:
-    enc = pattern if isinstance(pattern, np.ndarray) else dna.encode(pattern)
+    if isinstance(pattern, np.ndarray):
+        enc = pattern
+        raw = pattern  # encoded-only input: raw falls back to encoded
+    else:
+        raw = np.frombuffer(pattern.encode("ascii", errors="replace"),
+                            dtype=np.uint8)
+        enc = dna.encode(pattern)
     n = int(len(enc))
     num_words = div_ceil(n, W)
     mod = n % W
@@ -90,7 +97,8 @@ def compile_pattern(pattern: str | np.ndarray) -> Pattern:
     level_mask = [TOPBIT] * num_words
     if mod > 0:
         level_mask[num_words - 1] = 1 << (mod - 1)
-    return Pattern(enc=np.asarray(enc, dtype=np.uint8), length=n,
+    return Pattern(enc=np.asarray(enc, dtype=np.uint8),
+                   raw=np.asarray(raw, dtype=np.uint8), length=n,
                    num_words=num_words, mod=mod, peq=peq,
                    level_mask=level_mask)
 
@@ -323,18 +331,18 @@ def banded_fill(pat: Pattern, text_enc: np.ndarray,
 
 
 def banded_traceback(fill: BandedFillResult, pat: Pattern,
-                     text_enc: np.ndarray) -> str:
+                     text_raw: np.ndarray) -> str:
     """Banded traceback (banded_backtrace_matrix_cutoff, bpm_banded.c:967-1036).
 
     Tie-break order: D (Pv bit at column h+1), I (Mv bit at column h),
     M (chars equal), X.
     """
     prolog = fill.geometry.prolog
-    text_len = len(text_enc)
+    text_len = len(text_raw)
     h = text_len - 1
     v = pat.length - 1
     ops = []
-    penc = pat.enc
+    praw = pat.raw
     while v >= 0 and h >= 0:
         block_h = h // W
         block_h_r = (h + 1) // W
@@ -350,7 +358,7 @@ def banded_traceback(fill: BandedFillResult, pat: Pattern,
         elif fill.MvM[h][block_v] & mask:
             ops.append("I")
             h -= 1
-        elif int(text_enc[h]) == int(penc[v]):
+        elif int(text_raw[h]) == int(praw[v]):
             ops.append("M")
             h -= 1
             v -= 1
@@ -367,8 +375,8 @@ def banded_align(pattern: str, text: str, cutoff_score: int,
                  only_score: bool = False):
     """BANDED algorithm driver (run_banded semantics, quicked.c:58-89).
 
-    NOTE: the traceback compares raw *encoded* characters, so M/X
-    distinctions follow the 5-letter alphabet (N matches N).
+    NOTE: the traceback M-test compares RAW characters (bpm_banded.c:1012),
+    while the DP itself runs on the 5-letter encoding.
     Returns (score, cigar_ops or None).
     """
     pat = compile_pattern(pattern)
@@ -377,7 +385,9 @@ def banded_align(pattern: str, text: str, cutoff_score: int,
         res = banded_score(pat, text_enc, cutoff_score)
         return res.score, None
     fill = banded_fill(pat, text_enc, cutoff_score)
-    ops = banded_traceback(fill, pat, text_enc)
+    text_raw = np.frombuffer(text.encode("ascii", errors="replace"),
+                             dtype=np.uint8)
+    ops = banded_traceback(fill, pat, text_raw)
     return fill.score, ops
 
 
@@ -455,7 +465,7 @@ def _window_fill(pat: Pattern, text_enc: np.ndarray, window_size: int,
     return PvW, MvW, pos_v, pos_h
 
 
-def _window_backtrace(state: WindowedState, pat: Pattern, text_enc: np.ndarray,
+def _window_backtrace(state: WindowedState, pat: Pattern, text_raw: np.ndarray,
                       PvW, MvW, pos_v_min: int, pos_h_min: int,
                       window_size: int, overlap_size: int,
                       score_only: bool, hew_threshold: int):
@@ -472,7 +482,7 @@ def _window_backtrace(state: WindowedState, pat: Pattern, text_enc: np.ndarray,
     v_min = pos_v_min
     h_overlap = max(state.pos_h - W * (ws - ovl) + 1, 0)
     v_overlap = max(state.pos_v - W * (ws - ovl) + 1, 0)
-    penc = pat.enc
+    praw = pat.raw
     score = 0
     while v >= v_overlap and h >= h_overlap:
         block = (v - v_min) // W
@@ -485,7 +495,7 @@ def _window_backtrace(state: WindowedState, pat: Pattern, text_enc: np.ndarray,
             elif MvW[col - 1][block] & mask:
                 score += 1
                 h -= 1
-            elif int(text_enc[h]) == int(penc[v]):
+            elif int(text_raw[h]) == int(praw[v]):
                 h -= 1
                 v -= 1
             else:
@@ -493,7 +503,7 @@ def _window_backtrace(state: WindowedState, pat: Pattern, text_enc: np.ndarray,
                 h -= 1
                 v -= 1
         else:
-            if int(text_enc[h]) == int(penc[v]):
+            if int(text_raw[h]) == int(praw[v]):
                 state.ops.append("M")
                 h -= 1
                 v -= 1
@@ -523,13 +533,19 @@ def windowed_compute(pattern: str | Pattern, text: str | np.ndarray,
     Returns (score, ops or None, high_error_window).
     """
     pat = pattern if isinstance(pattern, Pattern) else compile_pattern(pattern)
-    text_enc = text if isinstance(text, np.ndarray) else dna.encode(text)
+    if isinstance(text, np.ndarray):
+        text_enc = text
+        text_raw = text
+    else:
+        text_enc = dna.encode(text)
+        text_raw = np.frombuffer(text.encode("ascii", errors="replace"),
+                                 dtype=np.uint8)
     state = WindowedState(pos_v=pat.length - 1, pos_h=len(text_enc) - 1,
                           score=0, high_error_window=0, ops=[])
     while state.pos_v >= 0 and state.pos_h >= 0:
         PvW, MvW, pos_v_min, pos_h_min = _window_fill(
             pat, text_enc, window_size, state.pos_v, state.pos_h)
-        _window_backtrace(state, pat, text_enc, PvW, MvW, pos_v_min,
+        _window_backtrace(state, pat, text_raw, PvW, MvW, pos_v_min,
                           pos_h_min, window_size, overlap_size,
                           score_only, hew_threshold)
     if score_only:

@@ -3,7 +3,9 @@ and kernel (interpret-mode) tests run anywhere; TPU runs use bench.py."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU for tests regardless of the ambient platform (the environment
+# may preset JAX_PLATFORMS=axon/tpu for the real chip; bench.py uses that).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
