@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched BandEd score-only throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is TPU aligned-bases/s divided by the CPU reference
+(align_benchmark -a edit-banded, single thread) on the same dataset,
+measured on this host when the oracle binary is available (BASELINE.md
+measurement protocol).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_PAIRS = 512
+LENGTH = 5000
+ERROR = 0.10
+BANDWIDTH = 15
+REPS = 3
+
+
+def _tpu_rate(pairs):
+    import jax
+    import jax.numpy as jnp
+
+    from quicked_tpu.ops.banded_jax import _banded_scan
+    from quicked_tpu.ops.batch_prep import prepare_banded_batch
+
+    cutoffs = [max(len(p), len(t)) * BANDWIDTH // 100 for p, t in pairs]
+    batch = prepare_banded_batch([p for p, _ in pairs],
+                                 [t for _, t in pairs], cutoffs, full=False,
+                                 pad_to_b=N_PAIRS)
+    args = [jnp.asarray(a) for a in (
+        batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi, batch.text,
+        batch.init_scores, batch.cutoff, batch.prolog, batch.nbr,
+        batch.finish_v, batch.tfinish, batch.first0, batch.last0)]
+
+    def run():
+        out = _banded_scan(*args, EBB=batch.EBB, NB=batch.NB, full=False)
+        jax.block_until_ready(out)
+        return out
+
+    run()  # compile + warmup
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    bases = sum(max(len(p), len(t)) for p, t in pairs)
+    return bases / best
+
+
+def _cpu_rate(pairs):
+    bench = os.path.join(REPO, ".oracle", "bin", "align_benchmark")
+    if not os.path.exists(bench):
+        try:
+            sys.path.insert(0, os.path.join(REPO, "tests"))
+            from tests import oracle
+
+            bench = oracle.oracle_path("align_benchmark")
+        except Exception:
+            bench = None
+    if not bench or not os.path.exists(bench):
+        return None
+    from quicked_tpu import seqio
+
+    with tempfile.TemporaryDirectory() as td:
+        seq = os.path.join(td, "bench.seq")
+        seqio.write_seq_pairs(seq, pairs)
+        t0 = time.perf_counter()
+        subprocess.run([bench, "-a", "edit-banded", "--bandwidth",
+                        str(BANDWIDTH), "-i", seq, "-q"],
+                       check=True, capture_output=True, timeout=3600)
+        dt = time.perf_counter() - t0
+    bases = sum(max(len(p), len(t)) for p, t in pairs)
+    return bases / dt
+
+
+def main():
+    from quicked_tpu import generate
+
+    pairs = list(generate.generate_pairs(N_PAIRS, LENGTH, error=ERROR,
+                                         seed=7))
+    tpu = _tpu_rate(pairs)
+    try:
+        cpu = _cpu_rate(pairs)
+    except Exception as e:  # oracle failures must not kill the bench
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+        cpu = None
+    vs = (tpu / cpu) if cpu else 0.0
+    print(json.dumps({
+        "metric": "banded_score_bases_per_s",
+        "value": round(tpu, 1),
+        "unit": "bases/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Batch-first alignment engine (the TPU production path).
+
+The unit of work is a batch of pairs (SURVEY.md §7): pairs are bucketed by
+band/text geometry into fixed-shape kernel invocations (bounded number of
+XLA compilations), aligned on device, and results are scattered back to
+the input order — the TPU-native re-expression of the reference's
+per-pair driver loop (quicked.c:405-437) + OpenMP batch loop
+(align_benchmark.c:232-306).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from quicked_tpu import dna
+from quicked_tpu.cigar import Cigar
+from quicked_tpu.ops import myers_np
+from quicked_tpu.ops.batch_prep import prepare_banded_batch, extract_final_scores
+from quicked_tpu.ops.banded_jax import run_banded
+from quicked_tpu.ops.traceback_np import banded_traceback_pair
+from quicked_tpu.params import (
+    QuickedAlgo,
+    QuickedParams,
+    QuickedStatus,
+)
+
+W = 64
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Per-pair alignment results, in input order."""
+
+    status: list
+    score: np.ndarray
+    cigar: list
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _raw_bytes(s) -> np.ndarray:
+    if isinstance(s, np.ndarray):
+        return s
+    return np.frombuffer(s.encode("ascii", errors="replace"), dtype=np.uint8)
+
+
+def bucket_keys(plens, tlens, cutoffs, full: bool):
+    """Bucket key per pair: (pow2(NB), pow2(EBB)) so the number of XLA
+    compilations is O(log^2) in the size range, not O(pairs)."""
+    keys = []
+    for pl, tl, co in zip(plens, tlens, cutoffs):
+        geo = myers_np.band_geometry(int(pl), int(tl), int(co))
+        if full:
+            ebb = geo.ebb
+        else:
+            ebb = myers_np.div_ceil(geo.cutoff, W) + 1
+        nb = max(myers_np.div_ceil(int(tl), W), 1)
+        keys.append((_next_pow2(nb), _next_pow2(ebb)))
+    return keys
+
+
+# Memory budget for one full-matrix (traceback) kernel invocation: the
+# stored band snapshots are NB*64*EBB*16 bytes per lane (4 u32 planes).
+FULL_FILL_BYTES_BUDGET = 1 << 30
+
+
+def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
+                       min_lanes: int = 8):
+    """BANDED algorithm over a batch, through the device kernels.
+
+    Returns (scores int64 array, ops list of str|None). Semantics:
+    run_banded driver (quicked.c:58-89) per pair, batched.
+    """
+    n = len(patterns)
+    scores = np.zeros(n, dtype=np.int64)
+    ops_out: list = [None] * n
+    plens = [len(p) for p in patterns]
+    tlens = [len(t) for t in texts]
+    keys = bucket_keys(plens, tlens, cutoffs, full=not only_score)
+
+    by_key: dict = {}
+    for i, k in enumerate(keys):
+        by_key.setdefault(k, []).append(i)
+
+    for (nb_p2, ebb_p2), idxs in by_key.items():
+        if only_score:
+            chunk = len(idxs)
+        else:
+            per_lane = nb_p2 * W * ebb_p2 * 16
+            chunk = max(FULL_FILL_BYTES_BUDGET // max(per_lane, 1), 1)
+        for s in range(0, len(idxs), chunk):
+            sub = idxs[s:s + chunk]
+            pats = [patterns[i] for i in sub]
+            txts = [texts[i] for i in sub]
+            cos = [cutoffs[i] for i in sub]
+            b_pad = max(_next_pow2(len(sub)), min_lanes)
+            batch = prepare_banded_batch(
+                pats, txts, cos, full=not only_score,
+                pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
+            out = run_banded(batch)
+            sc = extract_final_scores(batch, out["scores_by_k"])
+            for j, i in enumerate(sub):
+                scores[i] = sc[j]
+            if not only_score:
+                for j, i in enumerate(sub):
+                    ops_out[i] = banded_traceback_pair(
+                        out["mat_pv_lo"][:, :, j], out["mat_pv_hi"][:, :, j],
+                        out["mat_mv_lo"][:, :, j], out["mat_mv_hi"][:, :, j],
+                        _raw_bytes(patterns[i]), _raw_bytes(texts[i]),
+                        int(batch.prolog[j]))
+    return scores, ops_out
+
+
+def banded_score_results(patterns, texts, cutoffs, text_finish=None,
+                         min_lanes: int = 8):
+    """Score-only banded runs returning the full per-pair band state the
+    Hirschberg driver consumes (myers_np.BandedScoreResult), through the
+    device kernel. `text_finish` stops each lane at its midpoint while the
+    band is sized for the full text (bpm_hirschberg.c:85-100)."""
+    n = len(patterns)
+    plens = [len(p) for p in patterns]
+    tlens = [len(t) for t in texts]
+    if text_finish is None:
+        text_finish = tlens
+    results: list = [None] * n
+
+    # bucket on (pow2 processed-blocks, pow2 score-band width)
+    by_key: dict = {}
+    for i in range(n):
+        geo = myers_np.band_geometry(plens[i], tlens[i], int(cutoffs[i]))
+        ebb = myers_np.div_ceil(geo.cutoff, W) + 1
+        nb = max(myers_np.div_ceil(int(text_finish[i]), W), 1)
+        by_key.setdefault((_next_pow2(nb), _next_pow2(ebb)), []).append(i)
+
+    for (nb_p2, ebb_p2), idxs in by_key.items():
+        pats = [patterns[i] for i in idxs]
+        txts = [texts[i] for i in idxs]
+        cos = [cutoffs[i] for i in idxs]
+        fins = [text_finish[i] for i in idxs]
+        b_pad = max(_next_pow2(len(idxs)), min_lanes)
+        batch = prepare_banded_batch(
+            pats, txts, cos, full=False, text_finish=fins,
+            pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
+        out = run_banded(batch)
+        final_scores = extract_final_scores(batch, out["scores_by_k"])
+        for j, i in enumerate(idxs):
+            prolog = int(batch.prolog[j])
+            pv = [int(out["pv_lo"][k, j]) | (int(out["pv_hi"][k, j]) << 32)
+                  for k in range(batch.EBB)]
+            mv = [int(out["mv_lo"][k, j]) | (int(out["mv_hi"][k, j]) << 32)
+                  for k in range(batch.EBB)]
+            sc = {k - prolog: int(out["scores_by_k"][k, j])
+                  for k in range(out["scores_by_k"].shape[0])}
+            geo = myers_np.band_geometry(plens[i], tlens[i], int(cutoffs[i]))
+            results[i] = myers_np.BandedScoreResult(
+                score=int(final_scores[j]), Pv=pv, Mv=mv, scores=sc,
+                lower_block=int(out["first"][j]),
+                higher_block=int(out["last"][j]), geometry=geo)
+    return results
+
+
+def _finish(status, score, ops, only_score):
+    """extract_results semantics (quicked.c:34-56)."""
+    if int(status) < 0:
+        return status, -1, None
+    if only_score and ops is None:
+        return status, int(score), None
+    cig = Cigar(operations=ops or "")
+    return status, cig.score_edit(), (cig.sprint(True) if ops else None)
+
+
+def align_batch_full(pairs, params: QuickedParams | None = None) -> BatchResult:
+    """Align a batch of (pattern, text) pairs; returns results in order."""
+    params = params or QuickedParams()
+    n = len(pairs)
+    statuses: list = [QuickedStatus.QUICKED_OK] * n
+    scores = np.full(n, -1, dtype=np.int64)
+    cigars: list = [None] * n
+
+    live = []
+    for i, (p, t) in enumerate(pairs):
+        if len(p) == 0 or len(t) == 0:
+            statuses[i] = QuickedStatus.QUICKED_EMPTY_SEQUENCE
+        else:
+            live.append(i)
+    if not live:
+        return BatchResult(statuses, scores, cigars)
+
+    algo = params.algo
+    if algo == QuickedAlgo.BANDED and params.use_kernels:
+        pats = [pairs[i][0] for i in live]
+        txts = [pairs[i][1] for i in live]
+        cos = [max(len(pairs[i][0]), len(pairs[i][1])) * params.bandwidth // 100
+               for i in live]
+        sc, ops = banded_align_batch(pats, txts, cos,
+                                     only_score=params.only_score)
+        for j, i in enumerate(live):
+            st, s, c = _finish(QuickedStatus.QUICKED_WIP, sc[j], ops[j],
+                               params.only_score)
+            statuses[i], scores[i], cigars[i] = st, s, c
+        return BatchResult(statuses, scores, cigars)
+
+    if algo == QuickedAlgo.QUICKED and params.use_kernels:
+        from quicked_tpu.aligner.cascade import quicked_cascade_batch
+        res = quicked_cascade_batch([pairs[i] for i in live], params)
+        for j, i in enumerate(live):
+            statuses[i] = res.status[j]
+            scores[i] = res.score[j]
+            cigars[i] = res.cigar[j]
+        return BatchResult(statuses, scores, cigars)
+
+    # Remaining algorithms: exact numpy semantic model per pair (replaced
+    # by batched kernels as they land).
+    from quicked_tpu.api import _align_one_np
+    for i in live:
+        p, t = pairs[i]
+        st, s, c = _align_one_np(p, t, params.replace(use_kernels=False))
+        statuses[i], scores[i], cigars[i] = st, s, (c if c else None)
+    return BatchResult(statuses, scores, cigars)

@@ -1,0 +1,154 @@
+"""Batched QuickEd bound-and-align cascade (the flagship algorithm).
+
+TPU-native re-expression of run_quicked (quicked.c:163-306): because the
+4-stage cascade is data-dependent per pair, the batch is *re-partitioned*
+between stages (SURVEY.md §7) — stage 1 runs on everything, later stages
+only on the pairs their predicates select, each through the batched
+device kernels:
+
+  stage 1: WindowEd(ws=2, ovl=1) score bound            (quicked.c:184-199)
+  stage 2: WindowEd(ws=W, ovl) forward + reversed-pair  (quicked.c:204-235)
+  stage 3: BandEd score-only, telescoping retry loop    (quicked.c:237-276)
+  stage 4: Hirschberg full alignment under the bound    (quicked.c:290)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from quicked_tpu.cigar import Cigar
+from quicked_tpu.ops.windowed_jax import prepare_windowed_batch, run_windowed_score
+from quicked_tpu.params import QuickedParams, QuickedStatus
+
+W = 64
+
+
+@dataclasses.dataclass
+class CascadeResult:
+    status: list
+    score: np.ndarray
+    cigar: list
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def windowed_score_batch(patterns, texts, hew_threshold: int,
+                         window_size: int, overlap_size: int,
+                         min_lanes: int = 8):
+    """Bucketed batched windowed score bound. Returns (score, hew) i64."""
+    n = len(patterns)
+    scores = np.zeros(n, dtype=np.int64)
+    hews = np.zeros(n, dtype=np.int64)
+    cols = W * window_size
+    by_key: dict = {}
+    for i in range(n):
+        key = _next_pow2(max(len(patterns[i]), len(texts[i]), cols))
+        by_key.setdefault(key, []).append(i)
+    for size, idxs in by_key.items():
+        pats = [patterns[i] for i in idxs]
+        txts = [texts[i] for i in idxs]
+        b_pad = max(_next_pow2(len(idxs)), min_lanes)
+        batch = prepare_windowed_batch(
+            pats, txts, window_size=window_size, pad_to_b=b_pad,
+            min_t=size, min_p=size, min_kp=size // W + 1)
+        sc, hw = run_windowed_score(batch, hew_threshold, window_size,
+                                    overlap_size)
+        for j, i in enumerate(idxs):
+            scores[i] = sc[j]
+            hews[i] = hw[j]
+    return scores, hews
+
+
+def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
+                          timers=None) -> CascadeResult:
+    """Run the QuickEd cascade on a batch of (pattern, text) pairs.
+
+    `timers` (utils.profiler.PhaseTimers) mirrors the reference's
+    per-stage instrumentation (quicked.c:184-294)."""
+    params = params or QuickedParams()
+    if timers is None:
+        from quicked_tpu.utils.profiler import PhaseTimers
+        timers = PhaseTimers()
+    n = len(pairs)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    max_len = np.array([max(len(p), len(t)) for p, t in pairs],
+                       dtype=np.int64)
+
+    from quicked_tpu.aligner.batch import banded_align_batch
+    from quicked_tpu.aligner.hirschberg import hirschberg_batch
+
+    # ---- STAGE 1: fast windowed bound (quicked.c:184-199) ----
+    timers.total.start()
+    timers.windowed_s.start()
+    score, hew = windowed_score_batch(pats, txts, params.hew_threshold[0],
+                                      2, 1)
+    timers.windowed_s.stop()
+    hard = [i for i in range(n)
+            if hew[i] * W > max_len[i] * params.hew_percentage[0] // 100]
+
+    if hard:
+        # ---- STAGE 2: large windows, forward + reversed pair ----
+        ws, ovl = params.window_size, params.overlap_size
+        timers.windowed_l.start()
+        s_fwd, hew_fwd = windowed_score_batch(
+            [pats[i] for i in hard], [txts[i] for i in hard],
+            params.hew_threshold[1], ws, ovl)
+        s_rev, hew_rev = windowed_score_batch(
+            [pats[i][::-1] for i in hard], [txts[i][::-1] for i in hard],
+            params.hew_threshold[1], ws, ovl)
+        timers.windowed_l.stop()
+        harder = []
+        for j, i in enumerate(hard):
+            sc = min(s_fwd[j], s_rev[j])
+            hw = hew_fwd[j]
+            if sc >= s_rev[j]:
+                hw = hew_rev[j]
+            score[i] = sc
+            if hw * W * (ws - ovl) > max_len[i] * params.hew_percentage[1] // 100:
+                harder.append(i)
+
+        if harder:
+            # ---- STAGE 3: banded score-only + telescoping retry
+            # (quicked.c:246-276) ----
+            timers.banded.start()
+            cut = {i: int(min(max_len[i] * params.bandwidth // 100, score[i]))
+                   for i in harder}
+            pending = list(harder)
+            while pending:
+                ns, _ = banded_align_batch(
+                    [pats[i] for i in pending], [txts[i] for i in pending],
+                    [cut[i] for i in pending], only_score=True)
+                nxt = []
+                for j, i in enumerate(pending):
+                    new_score = int(ns[j])
+                    if (new_score > max_len[i] // 4
+                            and cut[i] * 3 // 2 < new_score) or new_score < 0:
+                        cut[i] *= 2
+                        nxt.append(i)
+                    else:
+                        score[i] = new_score
+                pending = nxt
+            timers.banded.stop()
+
+    # ---- STAGE 4: full alignment under the proven bound ----
+    timers.align.start()
+    res = hirschberg_batch(txts, pats, [int(s) for s in score])
+    timers.align.stop()
+    timers.total.stop()
+
+    statuses: list = [None] * n
+    final_scores = np.full(n, -1, dtype=np.int64)
+    cigars: list = [None] * n
+    for i, (st, ops) in enumerate(res):
+        statuses[i] = st
+        if int(st) < 0 or ops is None:
+            continue
+        c = Cigar(operations=ops)
+        final_scores[i] = c.score_edit()
+        cigars[i] = c.sprint(True)
+    return CascadeResult(status=statuses, score=final_scores, cigar=cigars)

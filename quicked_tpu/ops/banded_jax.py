@@ -119,10 +119,11 @@ def _maintenance(pv, mv, scw, first, last, captures, nb, batch_consts, EBB,
     return pv, mv, scw, first, last
 
 
-@partial(jax.jit, static_argnames=("EBB", "NB", "full"))
-def _banded_scan(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
-                 cutoff, prolog, nbr, finish_v, tfinish, first0, last0,
-                 *, EBB: int, NB: int, full: bool):
+def banded_scan_impl(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
+                     cutoff, prolog, nbr, finish_v, tfinish, first0, last0,
+                     *, EBB: int, NB: int, full: bool):
+    """Unjitted scan body — shared by the single-chip jit wrapper below
+    and the shard_map data-parallel path (parallel/mesh.py)."""
     B = text.shape[1]
     batch_consts = (cutoff, prolog, nbr, finish_v, tfinish)
     text_blocks = text.reshape(NB, W, B)
@@ -184,6 +185,10 @@ def _banded_scan(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
         out.update(mat_pv_lo=mats[0], mat_pv_hi=mats[1],
                    mat_mv_lo=mats[2], mat_mv_hi=mats[3])
     return out
+
+
+_banded_scan = partial(jax.jit, static_argnames=("EBB", "NB", "full"))(
+    banded_scan_impl)
 
 
 def run_banded(batch: BandedBatch, backend: str = "jax"):

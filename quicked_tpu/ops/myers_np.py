@@ -577,29 +577,17 @@ def hirschberg(text: str, pattern: str, cutoff_score: int):
     return status, "".join(segments)
 
 
-def _hirschberg_rec(text: str, pattern: str, cutoff_score: int,
-                    segments: list[str]) -> QuickedStatus:
-    text_len = len(text)
-    pattern_len = len(pattern)
-    geo = band_geometry(pattern_len, text_len, cutoff_score)
-    footprint = geo.ebb * text_len * 8 * 2
-    if footprint <= HIRSCHBERG_BUFFER:
-        score, ops = banded_align(pattern, text, cutoff_score, only_score=False)
-        segments.insert(0, ops)   # cigar_prepend_forward semantics
-        return QuickedStatus.QUICKED_OK
+def hirschberg_split(fwd: BandedScoreResult, rev: BandedScoreResult,
+                     pattern_len: int, text_len: int, geo: BandGeometry):
+    """Band intersection, midpoint argmin and per-half score bounds
+    (bpm_hirschberg.c:103-200).
 
+    Returns None on non-convergence, else
+    (pattern_len_left, score_l, score_r). Shared by the sequential numpy
+    recursion and the batched kernel-backed driver.
+    """
     text_mid = (text_len + 1) // 2
     text_mid_r = text_len - text_mid
-    pat = compile_pattern(pattern)
-    pat_r = compile_pattern(pattern[::-1])
-    text_enc = dna.encode(text)
-    text_r_enc = dna.encode(text[::-1])
-
-    fwd = banded_score(pat, text_enc, cutoff_score,
-                       text_len=text_len, text_finish_pos=text_mid)
-    rev = banded_score(pat_r, text_r_enc, cutoff_score,
-                       text_len=text_len, text_finish_pos=text_mid_r)
-
     prolog = geo.prolog
     fb_pos_v = 0 if text_mid < prolog * W else (text_mid // W) - prolog
     fb_pos_v_r = 0 if text_mid_r < prolog * W else (text_mid_r // W) - prolog
@@ -610,7 +598,7 @@ def _hirschberg_rec(text: str, pattern: str, cutoff_score: int,
     higher_pos_r = (pattern_len - 1) - (rev.lower_block * W + 63 + fb_pos_v_r * W)
 
     if bottom_pos > higher_pos_r or bottom_pos_r > higher_pos:
-        return QuickedStatus.QUICKED_FAIL_NON_CONVERGENCE
+        return None
 
     if bottom_pos > bottom_pos_r:
         bottom_cell = fwd.lower_block * W + 63
@@ -650,15 +638,54 @@ def _hirschberg_rec(text: str, pattern: str, cutoff_score: int,
     pattern_len_left = starting_pos + smaller_pos
     pattern_len_right = pattern_len - pattern_len_left
 
-    # Sub-alignment score bounds (bpm_hirschberg.c:194-200).
+    # Sub-alignment score bounds (bpm_hirschberg.c:194-200). The C code
+    # can index cell_score outside [0, n_cells] in degenerate band
+    # geometries (undefined behavior in the reference, which reads
+    # whatever is in the allocation slack); we clamp deterministically —
+    # the bounds only seed the recursion's cutoffs, and the banded
+    # kernels re-verify them.
+    def _cs(arr, idx):
+        return arr[min(max(idx, 0), n_cells)]
+
     block_ref = div_ceil(pattern_len_left, W) - (1 if n_cells < smaller_pos + W else 0)
     score_pos_l = block_ref * W - (bottom_cell + fb_pos_v * W)
-    score_l = cell_score[smaller_pos] - cell_score[score_pos_l] + \
-        fwd.scores[block_ref - 1]
+    score_l = cell_score[smaller_pos] - _cs(cell_score, score_pos_l) + \
+        fwd.scores.get(block_ref - 1, block_ref * W)
     block_ref_r = div_ceil(pattern_len_right, W) - (1 if smaller_pos < W else 0)
     score_pos_r = block_ref_r * W - (higher_cell_r + fb_pos_v_r * W)
-    score_r = cell_score_r[n_cells - 1 - smaller_pos] - cell_score_r[score_pos_r] + \
-        rev.scores[block_ref_r - 1]
+    score_r = _cs(cell_score_r, n_cells - 1 - smaller_pos) - \
+        _cs(cell_score_r, score_pos_r) + \
+        rev.scores.get(block_ref_r - 1, block_ref_r * W)
+    return pattern_len_left, score_l, score_r
+
+
+def _hirschberg_rec(text: str, pattern: str, cutoff_score: int,
+                    segments: list[str]) -> QuickedStatus:
+    text_len = len(text)
+    pattern_len = len(pattern)
+    geo = band_geometry(pattern_len, text_len, cutoff_score)
+    footprint = geo.ebb * text_len * 8 * 2
+    if footprint <= HIRSCHBERG_BUFFER:
+        score, ops = banded_align(pattern, text, cutoff_score, only_score=False)
+        segments.insert(0, ops)   # cigar_prepend_forward semantics
+        return QuickedStatus.QUICKED_OK
+
+    text_mid = (text_len + 1) // 2
+    text_mid_r = text_len - text_mid
+    pat = compile_pattern(pattern)
+    pat_r = compile_pattern(pattern[::-1])
+    text_enc = dna.encode(text)
+    text_r_enc = dna.encode(text[::-1])
+
+    fwd = banded_score(pat, text_enc, cutoff_score,
+                       text_len=text_len, text_finish_pos=text_mid)
+    rev = banded_score(pat_r, text_r_enc, cutoff_score,
+                       text_len=text_len, text_finish_pos=text_mid_r)
+
+    split = hirschberg_split(fwd, rev, pattern_len, text_len, geo)
+    if split is None:
+        return QuickedStatus.QUICKED_FAIL_NON_CONVERGENCE
+    pattern_len_left, score_l, score_r = split
 
     # Right half first, then left (both write right-to-left in the
     # reference; we assemble left-to-right by list order).

@@ -61,6 +61,53 @@ def advance_block64(eq_lo, eq_hi, mask_lo, mask_hi,
     return pv_lo_n, pv_hi_n, mv_lo_n, mv_hi_n, phout, mhout
 
 
+def _shr32(x, n):
+    """x >> n on uint32 lanes with vector amounts; n outside [0,31] -> 0."""
+    n = n.astype(jnp.int32) if hasattr(n, "astype") else jnp.int32(n)
+    amt = jnp.clip(n, 0, 31).astype(U32)
+    return jnp.where((n >= 0) & (n < 32), x >> amt, jnp.uint32(0))
+
+
+def _shl32(x, n):
+    """x << n on uint32 lanes with vector amounts; n outside [0,31] -> 0."""
+    n = n.astype(jnp.int32) if hasattr(n, "astype") else jnp.int32(n)
+    amt = jnp.clip(n, 0, 31).astype(U32)
+    return jnp.where((n >= 0) & (n < 32), x << amt, jnp.uint32(0))
+
+
+def shr64(lo, hi, s):
+    """Logical right shift of a 64-bit (lo, hi) word by vector s in [0,63]."""
+    lo_new = _shr32(lo, s) | _shl32(hi, 32 - s) | _shr32(hi, s - 32)
+    hi_new = _shr32(hi, s)
+    return lo_new, hi_new
+
+
+def shl64(lo, hi, s):
+    """Logical left shift of a 64-bit (lo, hi) word by vector s in [0,63]."""
+    hi_new = _shl32(hi, s) | _shr32(lo, 32 - s) | _shl32(lo, s - 32)
+    lo_new = _shl32(lo, s)
+    return lo_new, hi_new
+
+
+def funnel_shift_right(lo0, hi0, lo1, hi1, s):
+    """(word1:word0) >> s restricted to 64 bits: the shifted PEQ window
+    build (bpm_windowed.c:237-244): (w0 >> s) | (w1 << (64-s)), s in
+    [0,63]; s == 0 returns w0."""
+    a_lo, a_hi = shr64(lo0, hi0, s)
+    b_lo, b_hi = shl64(lo1, hi1, (64 - s) % 64)
+    is0 = s == 0
+    lo = jnp.where(is0, lo0, a_lo | b_lo)
+    hi = jnp.where(is0, hi0, a_hi | b_hi)
+    return lo, hi
+
+
+def bit64(lo, hi, idx):
+    """Extract bit `idx` (vector, [0,63]) of (lo, hi) as uint32 0/1."""
+    lo_bit = _shr32(lo, idx) & jnp.uint32(1)
+    hi_bit = _shr32(hi, idx - 32) & jnp.uint32(1)
+    return jnp.where(idx < 32, lo_bit, hi_bit)
+
+
 def select_eq(char_enc, peq_block_lo, peq_block_hi):
     """Per-lane 5-way PEQ select: peq_block_* have a leading alphabet axis
     of size 5; char_enc is an int32 lane vector."""

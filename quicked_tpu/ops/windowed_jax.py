@@ -1,0 +1,289 @@
+"""Batched WindowEd kernel as a pure-JAX while-loop of window steps.
+
+Bit-exact batch re-expression of the reference windowed heuristic
+(bpm_windowed.c:202-628, score-only mode): every pair occupies one lane;
+each iteration fills one (64*ws x 64*ws)-cell window with the Myers
+advance (no level masks, bpm_windowed.c:254-279) and greedily backtraces
+inside it (windowed_backtrace_score_only, bpm_windowed.c:504-561),
+counting High-Error Windows. Lanes run in lockstep along their own
+diagonals; finished lanes are masked.
+
+The shifted PEQ window build (bpm_windowed.c:237-244) becomes a per-lane
+64-bit funnel shift on (lo, hi) uint32 pairs (ops/u64.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quicked_tpu import dna
+from quicked_tpu.ops import u64
+from quicked_tpu.ops.myers_np import div_ceil
+
+W = 64
+U32 = jnp.uint32
+I32 = jnp.int32
+TOPBIT_HI = jnp.uint32(0x80000000)
+
+
+@dataclasses.dataclass
+class WindowedBatch:
+    """Fixed-shape arrays for one windowed kernel invocation."""
+
+    B: int
+    KP: int                 # pattern PEQ rows
+    T: int                  # text columns (>= 64*ws)
+    P: int                  # pattern rows
+    peq_lo: np.ndarray      # (KP, 5, B) u32
+    peq_hi: np.ndarray
+    text_enc: np.ndarray    # (T, B) i32
+    text_raw: np.ndarray    # (T, B) i32 — raw bytes; M-test compares RAW
+    pat_raw: np.ndarray     # (P, B) i32
+    plen: np.ndarray        # (B,) i32
+    tlen: np.ndarray
+    num_words: np.ndarray
+
+
+def _pack_peq_words_np(enc: np.ndarray):
+    n = len(enc)
+    num_words = max(div_ceil(n, W), 1)
+    bits = np.zeros((num_words * W, 5), dtype=bool)
+    bits[np.arange(n), enc] = True
+    bits[n:, :] = True
+    bits = bits.reshape(num_words, 2, 32, 5)
+    weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))[None, :, None]
+    lo = (bits[:, 0].astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
+    hi = (bits[:, 1].astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
+    return lo, hi, num_words
+
+
+def _raw_i32(s, enc) -> np.ndarray:
+    if isinstance(s, np.ndarray):
+        return np.asarray(enc, dtype=np.int32)
+    return np.frombuffer(s.encode("ascii", errors="replace"),
+                         dtype=np.uint8).astype(np.int32)
+
+
+def prepare_windowed_batch(patterns, texts, *, window_size: int,
+                           pad_to_b: int | None = None,
+                           min_kp: int | None = None,
+                           min_t: int | None = None,
+                           min_p: int | None = None) -> WindowedBatch:
+    n = len(patterns)
+    enc_p = [p if isinstance(p, np.ndarray) else dna.encode(p)
+             for p in patterns]
+    enc_t = [t if isinstance(t, np.ndarray) else dna.encode(t) for t in texts]
+    plen = np.array([len(p) for p in enc_p], dtype=np.int32)
+    tlen = np.array([len(t) for t in enc_t], dtype=np.int32)
+    B = pad_to_b or n
+    assert B >= n
+    cols = W * window_size
+    KP = max(max(div_ceil(int(L), W), 1) for L in plen)
+    if min_kp:
+        KP = max(KP, min_kp)
+    T = max(int(tlen.max()), cols)
+    if min_t:
+        T = max(T, min_t)
+    P = max(int(plen.max()), 1)
+    if min_p:
+        P = max(P, min_p)
+
+    peq_lo = np.zeros((KP, 5, B), dtype=np.uint32)
+    peq_hi = np.zeros((KP, 5, B), dtype=np.uint32)
+    text_enc = np.zeros((T, B), dtype=np.int32)
+    text_raw = np.full((T, B), -1, dtype=np.int32)
+    pat_raw = np.full((P, B), -2, dtype=np.int32)
+    num_words = np.ones(B, dtype=np.int32)
+
+    for b in range(n):
+        lo, hi, nw = _pack_peq_words_np(enc_p[b])
+        peq_lo[:nw, :, b] = lo
+        peq_hi[:nw, :, b] = hi
+        num_words[b] = nw
+        tl = int(tlen[b])
+        text_enc[:tl, b] = enc_t[b].astype(np.int32)
+        text_raw[:tl, b] = _raw_i32(texts[b], enc_t[b])
+        pl = int(plen[b])
+        pat_raw[:pl, b] = _raw_i32(patterns[b], enc_p[b])
+
+    def vec(x, fill=0):
+        out = np.full(B, fill, dtype=np.int32)
+        out[:n] = x
+        return out
+
+    return WindowedBatch(B=B, KP=KP, T=T, P=P, peq_lo=peq_lo, peq_hi=peq_hi,
+                         text_enc=text_enc, text_raw=text_raw,
+                         pat_raw=pat_raw, plen=vec(plen, fill=0),
+                         tlen=vec(tlen, fill=0), num_words=num_words)
+
+
+def _gather_rows(arr, rows, WS, B):
+    """arr (KP, 5, B), rows (WS, B) -> (WS, 5, B) gather along axis 0."""
+    idx = jnp.broadcast_to(rows[:, None, :], (WS, 5, B))
+    return jnp.take_along_axis(arr, idx, axis=0)
+
+
+def _gather_lane(arr, idx):
+    """arr (N, B), idx (B,) -> (B,) per-lane gather."""
+    return jnp.take_along_axis(arr, idx[None, :], axis=0)[0]
+
+
+def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
+                       tlen, num_words, hew_cells, *, WS: int, OVL: int):
+    """Score-only windowed driver loop (windowed_compute,
+    bpm_windowed.c:563-628 with SCORE_ONLY). Unjitted — shared by the
+    single-chip jit wrapper and the shard_map path (parallel/mesh.py)."""
+    B = plen.shape[0]
+    KP = peq_lo.shape[0]
+    COLS = W * WS
+    MAXSTEPS = 2 * W * (WS - OVL) + 2
+    zeros_u = jnp.zeros((B,), U32)
+    mask_lo = jnp.zeros((B,), U32)
+    mask_hi = jnp.full((B,), TOPBIT_HI, U32)
+
+    def cond(state):
+        pos_v, pos_h, score, hew = state
+        return jnp.any((pos_v >= 0) & (pos_h >= 0))
+
+    def body(state):
+        pos_v, pos_h, score, hew = state
+        active = (pos_v >= 0) & (pos_h >= 0)
+        pv_pos = jnp.maximum(pos_v, 0)
+        ph_pos = jnp.maximum(pos_h, 0)
+        v_min = jnp.maximum(pv_pos - COLS + 1, 0)
+        h_min = jnp.maximum(ph_pos - COLS + 1, 0)
+        shift = v_min % W
+        v_block = v_min // W
+
+        # ---- shifted PEQ window build (bpm_windowed.c:237-244) ----
+        rows = v_block[None, :] + jnp.arange(WS, dtype=I32)[:, None]  # (WS,B)
+        rows_c = jnp.minimum(rows, KP - 1)
+        rows_c1 = jnp.minimum(rows + 1, KP - 1)
+        lo_lo = _gather_rows(peq_lo, rows_c, WS, B)
+        lo_hi = _gather_rows(peq_hi, rows_c, WS, B)
+        hi_lo = _gather_rows(peq_lo, rows_c1, WS, B)
+        hi_hi = _gather_rows(peq_hi, rows_c1, WS, B)
+        in_pat = (rows < num_words[None, :])[:, None, :]
+        in_pat1 = ((rows + 1) < num_words[None, :])[:, None, :]
+        ones = jnp.uint32(0xFFFFFFFF)
+        lo_lo = jnp.where(in_pat, lo_lo, ones)
+        lo_hi = jnp.where(in_pat, lo_hi, ones)
+        hi_lo = jnp.where(in_pat1, hi_lo, 0)
+        hi_hi = jnp.where(in_pat1, hi_hi, 0)
+        s = jnp.broadcast_to(shift[None, None, :], (WS, 5, B))
+        peq_win_lo, peq_win_hi = u64.funnel_shift_right(
+            lo_lo, lo_hi, hi_lo, hi_hi, s)
+
+        # ---- window fill (windowed_compute_window, bpm_windowed.c:202-280)
+        pv_init = jnp.where((h_min == 0)[None, :],
+                            jnp.full((WS, B), 0xFFFFFFFF, U32),
+                            jnp.zeros((WS, B), U32))
+        ph_first = jnp.where(v_min == 0, jnp.ones((B,), U32), zeros_u)
+
+        def fill(carry, tp):
+            pv_lo, pv_hi, mv_lo, mv_hi = carry
+            tidx = jnp.minimum(h_min + tp, text_enc.shape[0] - 1)
+            c = _gather_lane(text_enc, tidx)
+            phin, mhin = ph_first, zeros_u
+            npv_lo, npv_hi, nmv_lo, nmv_hi = [], [], [], []
+            for i in range(WS):
+                eq_lo, eq_hi = u64.select_eq(
+                    c, peq_win_lo[i], peq_win_hi[i])
+                a, b, cc, d, phout, mhout = u64.advance_block64(
+                    eq_lo, eq_hi, mask_lo, mask_hi,
+                    pv_lo[i], pv_hi[i], mv_lo[i], mv_hi[i], phin, mhin)
+                npv_lo.append(a)
+                npv_hi.append(b)
+                nmv_lo.append(cc)
+                nmv_hi.append(d)
+                phin, mhin = phout, mhout
+            out = (jnp.stack(npv_lo), jnp.stack(npv_hi),
+                   jnp.stack(nmv_lo), jnp.stack(nmv_hi))
+            return out, out
+
+        carry0 = (pv_init, pv_init, jnp.zeros((WS, B), U32),
+                  jnp.zeros((WS, B), U32))
+        _, snaps = jax.lax.scan(fill, carry0, jnp.arange(COLS, dtype=I32))
+        # Window matrix: column 0 = init state, column c = after text col c.
+        PvW_lo = jnp.concatenate([carry0[0][None], snaps[0]], axis=0)
+        PvW_hi = jnp.concatenate([carry0[1][None], snaps[1]], axis=0)
+        MvW_lo = jnp.concatenate([carry0[2][None], snaps[2]], axis=0)
+        MvW_hi = jnp.concatenate([carry0[3][None], snaps[3]], axis=0)
+        # Flatten (COLS+1, WS, B) -> ((COLS+1)*WS, B) for per-lane gathers.
+        flat = lambda a: a.reshape((COLS + 1) * WS, B)
+        fPv_lo, fPv_hi = flat(PvW_lo), flat(PvW_hi)
+        fMv_lo, fMv_hi = flat(MvW_lo), flat(MvW_hi)
+
+        # ---- greedy in-window backtrace, score-only tie-break D,I,M,X
+        # (windowed_backtrace_score_only, bpm_windowed.c:504-561)
+        v_ovl = jnp.maximum(pv_pos - W * (WS - OVL) + 1, 0)
+        h_ovl = jnp.maximum(ph_pos - W * (WS - OVL) + 1, 0)
+
+        def bt(carry, _):
+            v, h, sc = carry
+            act = active & (v >= v_ovl) & (h >= h_ovl)
+            vv = jnp.maximum(v, 0)
+            hh = jnp.maximum(h, 0)
+            block = (vv - v_min) // W
+            bit = (vv - v_min) % W
+            col = hh - h_min + 1
+            idx_p = jnp.clip(col * WS + block, 0, (COLS + 1) * WS - 1)
+            idx_m = jnp.clip((col - 1) * WS + block, 0, (COLS + 1) * WS - 1)
+            pvb = u64.bit64(_gather_lane(fPv_lo, idx_p),
+                            _gather_lane(fPv_hi, idx_p), bit)
+            mvb = u64.bit64(_gather_lane(fMv_lo, idx_m),
+                            _gather_lane(fMv_hi, idx_m), bit)
+            tchar = _gather_lane(text_raw, jnp.minimum(hh, text_raw.shape[0] - 1))
+            pchar = _gather_lane(pat_raw, jnp.minimum(vv, pat_raw.shape[0] - 1))
+            is_d = pvb == 1
+            is_i = (~is_d) & (mvb == 1)
+            is_m = (~is_d) & (~is_i) & (tchar == pchar)
+            # D or diagonal moves consume v; I or diagonal moves consume h
+            dec_v = is_d | (~is_d & ~is_i)
+            dec_h = is_i | (~is_d & ~is_i)
+            dsc = jnp.where(is_m, 0, 1)
+            v = jnp.where(act, v - dec_v.astype(I32), v)
+            h = jnp.where(act, h - dec_h.astype(I32), h)
+            sc = jnp.where(act, sc + dsc, sc)
+            return (v, h, sc), None
+
+        (v_f, h_f, sc_f), _ = jax.lax.scan(
+            bt, (pos_v, pos_h, jnp.zeros((B,), I32)), None, length=MAXSTEPS)
+
+        hew = hew + (active & (sc_f > hew_cells)).astype(I32)
+        score = score + jnp.where(active, sc_f, 0)
+        pos_v = jnp.where(active, v_f, pos_v)
+        pos_h = jnp.where(active, h_f, pos_h)
+        return (pos_v, pos_h, score, hew)
+
+    state0 = (plen - 1, tlen - 1, jnp.zeros((B,), I32), jnp.zeros((B,), I32))
+    pos_v, pos_h, score, hew = jax.lax.while_loop(cond, body, state0)
+    # Boundary fill (bpm_windowed.c:599-627, score-only accounting).
+    score = score + jnp.where(pos_h >= 0, pos_h + 1, 0)
+    score = score + jnp.where(pos_v >= 0, pos_v + 1, 0)
+    return score, hew
+
+
+_windowed_scan = partial(jax.jit, static_argnames=("WS", "OVL"))(
+    windowed_scan_impl)
+
+
+def run_windowed_score(batch: WindowedBatch, hew_threshold: int,
+                       window_size: int, overlap_size: int):
+    """Execute the score-only windowed kernel; returns (score, hew) numpy."""
+    hew_cells = np.full(
+        batch.B,
+        (window_size - overlap_size) * W * hew_threshold // 100,
+        dtype=np.int32)
+    score, hew = _windowed_scan(
+        jnp.asarray(batch.peq_lo), jnp.asarray(batch.peq_hi),
+        jnp.asarray(batch.text_enc), jnp.asarray(batch.text_raw),
+        jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),
+        jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
+        jnp.asarray(hew_cells), WS=window_size, OVL=overlap_size)
+    return np.asarray(score), np.asarray(hew)

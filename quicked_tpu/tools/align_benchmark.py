@@ -1,0 +1,304 @@
+"""align_benchmark CLI (tools/align_benchmark/align_benchmark.c parity).
+
+Batch aligner/benchmark over `.seq` files: same flags, TSV output formats
+(benchmark_utils.c:151-188), progress/results reporting
+(align_benchmark.c:103-142) and `--check` modes (benchmark_check.c).
+
+TPU-native re-design: instead of the reference's per-pair loop + OpenMP
+batches (align_benchmark.c:232-306), pairs are streamed in batches
+through the batched device kernels; `--batch-size` controls the stream
+granularity. The reference's `edlib` comparison algorithm is not
+vendored; the exact-score oracle for `--check score|alignment` is our
+full-band Myers model (equivalent ground truth).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from quicked_tpu import seqio
+from quicked_tpu.cigar import Cigar
+from quicked_tpu.params import QuickedAlgo, QuickedParams
+from quicked_tpu.utils.profiler import Counter, PhaseTimers, Timer
+
+ALGORITHMS = (
+    "quicked", "edit-banded", "edit-banded-hirschberg", "edit-windowed",
+    "edit-dp", "edit-dp-banded", "edit-bpm",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="align_benchmark",
+        description="Batch sequence-alignment benchmark (TPU-native)")
+    p.add_argument("--algorithm", "-a", required=True,
+                   choices=ALGORITHMS + ("edlib",))
+    p.add_argument("--input", "-i", required=True)
+    p.add_argument("--output", "-o", default=None)
+    p.add_argument("--output-full", default=None)
+    p.add_argument("--bandwidth", type=int, default=15)
+    p.add_argument("--window-size", type=int, default=9)
+    p.add_argument("--overlap-size", type=int, default=1)
+    p.add_argument("--hew-threshold", type=int, default=40)
+    p.add_argument("--hew-percentage", type=int, default=15)
+    p.add_argument("--force-scalar", action="store_true")
+    p.add_argument("--only-score", action="store_true",
+                   help="score-only mode (no CIGAR computation)")
+    p.add_argument("--check", "-c", default=None,
+                   choices=("display", "correct", "score", "alignment"))
+    p.add_argument("--num-threads", "-t", type=int, default=1,
+                   help="accepted for parity; device batching replaces "
+                        "host threads")
+    p.add_argument("--batch-size", type=int, default=10000)
+    p.add_argument("--progress", "-P", type=int, default=100000)
+    p.add_argument("--verbose", "-v", nargs="?", const=1, type=int,
+                   default=0)
+    p.add_argument("--quiet", "-q", action="store_true")
+    return p
+
+
+def _params_from_args(args) -> QuickedParams:
+    algo = {
+        "quicked": QuickedAlgo.QUICKED,
+        "edit-banded": QuickedAlgo.BANDED,
+        "edit-banded-hirschberg": QuickedAlgo.HIRSCHBERG,
+        "edit-windowed": QuickedAlgo.WINDOWED,
+    }.get(args.algorithm, QuickedAlgo.QUICKED)
+    return QuickedParams(
+        algo=algo, bandwidth=args.bandwidth, window_size=args.window_size,
+        overlap_size=args.overlap_size,
+        hew_threshold=(args.hew_threshold,) * 2,
+        hew_percentage=(args.hew_percentage,) * 2,
+        only_score=args.only_score, force_scalar=args.force_scalar)
+
+
+def _align_oracle_batch(pairs, only_score):
+    """Exact-score/CIGAR oracles run through the numpy models
+    (edit-dp / edit-dp-banded / edit-bpm selectable algorithms)."""
+    from quicked_tpu.ops import edit_dp
+
+    out = []
+    for p, t in pairs:
+        D = edit_dp.edit_dp_matrix(p, t)
+        score = int(D[-1, -1])
+        ops = None if only_score else edit_dp.edit_dp_traceback(D, p, t)
+        out.append((score, ops))
+    return out
+
+
+def _align_bpm_batch(pairs, only_score):
+    """edit-bpm: full-pattern Myers (edit_bpm.c semantics) — expressed as
+    a full-width band (cutoff = max length makes the band exact)."""
+    from quicked_tpu.aligner.batch import banded_align_batch
+
+    cutoffs = [max(len(p), len(t)) for p, t in pairs]
+    scores, ops = banded_align_batch(
+        [p for p, _ in pairs], [t for _, t in pairs], cutoffs,
+        only_score=only_score)
+    return list(zip([int(s) for s in scores], ops))
+
+
+def _exact_oracle(p, t):
+    """Ground truth (score, ops) — replaces the reference's edlib oracle
+    (benchmark_check.c:117-158)."""
+    from quicked_tpu.ops import edit_dp
+
+    D = edit_dp.edit_dp_matrix(p, t)
+    return int(D[-1, -1]), edit_dp.edit_dp_traceback(D, p, t)
+
+
+class CheckStats:
+    """Accuracy counters (align_input_t, benchmark_utils.h:38-85)."""
+
+    def __init__(self):
+        self.align = Counter()
+        self.align_correct = Counter()
+        self.align_score = Counter()
+        self.align_score_total = Counter()
+        self.align_score_diff = Counter()
+        self.align_cigar = Counter()
+        self.align_bases = Counter()
+        self.align_matches = Counter()
+        self.align_mismatches = Counter()
+        self.align_ins = Counter()
+        self.align_del = Counter()
+
+
+def _check_pair(mode, pattern, text, score, cigar_rle, stats, verbose):
+    """benchmark_check_alignment semantics (benchmark_check.c:33-158)."""
+    stats.align.add(1)
+    ops = Cigar.from_rle(cigar_rle).operations if cigar_rle else None
+    if ops is not None:
+        c = Cigar(operations=ops)
+        correct = c.check_alignment(pattern, text)
+        stats.align_correct.add(1 if correct else 0)
+        if not correct and verbose:
+            print("INCORRECT ALIGNMENT", file=sys.stderr)
+        for op in ops:
+            stats.align_bases.add(1)
+            if op == "M":
+                stats.align_matches.add(1)
+            elif op == "X":
+                stats.align_mismatches.add(1)
+            elif op == "I":
+                stats.align_ins.add(1)
+            elif op == "D":
+                stats.align_del.add(1)
+    else:
+        stats.align_correct.add(1)
+    if mode in ("score", "alignment"):
+        true_score, true_ops = _exact_oracle(pattern, text)
+        stats.align_score.add(1 if score == true_score else 0)
+        stats.align_score_total.add(true_score)
+        stats.align_score_diff.add(abs(score - true_score))
+        if score != true_score and verbose:
+            print(f"INACCURATE SCORE computed={score} correct={true_score}",
+                  file=sys.stderr)
+        if mode == "alignment" and ops is not None:
+            stats.align_cigar.add(1 if ops == true_ops else 0)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.algorithm == "edlib":
+        print("ERROR: edlib is not vendored in the TPU build; use "
+              "edit-dp/edit-bpm as exact baselines", file=sys.stderr)
+        return 1
+
+    import os
+    if not os.path.exists(args.input):
+        print(f"ERROR: input file '{args.input}' not found", file=sys.stderr)
+        return 1
+
+    params = _params_from_args(args)
+    timers = PhaseTimers()
+    timer_global = Timer()
+    out_file = None
+    output_full = False
+    if args.output_full:
+        out_file = open(args.output_full, "w")
+        output_full = True
+    elif args.output:
+        out_file = open(args.output, "w")
+    stats = CheckStats() if args.check in ("correct", "score",
+                                           "alignment") else None
+
+    n_processed = 0
+    timer_global.start()
+    try:
+        batch_pairs = []
+        for pair in seqio.read_seq_pairs(args.input):
+            batch_pairs.append(pair)
+            if len(batch_pairs) >= args.batch_size:
+                n_processed += _run_batch(args, params, timers, batch_pairs,
+                                          out_file, output_full, stats,
+                                          n_processed, timer_global)
+                batch_pairs = []
+        if batch_pairs:
+            n_processed += _run_batch(args, params, timers, batch_pairs,
+                                      out_file, output_full, stats,
+                                      n_processed, timer_global)
+    finally:
+        timer_global.stop()
+        if out_file:
+            out_file.close()
+
+    if not args.quiet:
+        _print_results(args, timers, timer_global, stats, n_processed)
+    return 0
+
+
+def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
+               already, timer_global):
+    from quicked_tpu.aligner.batch import align_batch_full
+    from quicked_tpu.aligner.cascade import quicked_cascade_batch
+
+    if args.algorithm in ("edit-dp", "edit-dp-banded"):
+        results = _align_oracle_batch(pairs, args.only_score)
+        scores = [r[0] for r in results]
+        cigars = [None if r[1] is None else Cigar(operations=r[1]).sprint(True)
+                  for r in results]
+        statuses = [0] * len(pairs)
+    elif args.algorithm == "edit-bpm":
+        results = _align_bpm_batch(pairs, args.only_score)
+        scores = [r[0] for r in results]
+        cigars = [None if r[1] is None else Cigar(operations=r[1]).sprint(True)
+                  for r in results]
+        statuses = [0] * len(pairs)
+    elif args.algorithm == "quicked":
+        res = quicked_cascade_batch(pairs, params, timers=timers)
+        scores, cigars, statuses = res.score, res.cigar, res.status
+    else:
+        res = align_batch_full(pairs, params)
+        scores, cigars, statuses = res.score, res.cigar, res.status
+
+    for i, (pattern, text) in enumerate(pairs):
+        err = int(statuses[i]) < 0 if statuses is not None else False
+        if out_file:
+            if err:
+                score_s, cigar_s = "ERROR", ("-" if args.only_score
+                                             else "ERROR")
+            else:
+                score_s = str(int(scores[i]))
+                cigar_s = "-" if cigars[i] is None else cigars[i]
+            if output_full:
+                out_file.write(f"{len(pattern)}\t{len(text)}\t{score_s}\t"
+                               f"{pattern}\t{text}\t{cigar_s}\n")
+            else:
+                out_file.write(f"{score_s}\t{cigar_s}\n")
+        if stats is not None and not err:
+            _check_pair(args.check, pattern, text, int(scores[i]),
+                        cigars[i], stats, args.verbose)
+
+    total = already + len(pairs)
+    if args.progress and total // args.progress > already // args.progress \
+            and not args.quiet:
+        rate = total / max(timer_global.total_ns() / 1e9, 1e-9)
+        print(f"...processed {total} reads (alignment = {rate:2.3f} seq/s)",
+              file=sys.stderr)
+    return len(pairs)
+
+
+def _print_results(args, timers, timer_global, stats, n):
+    err = sys.stderr
+    print("[Benchmark]", file=err)
+    print(f"=> Total.reads              {n}", file=err)
+    err.write("=> Time.Benchmark        ")
+    timer_global.print(err)
+    if args.algorithm == "quicked" and args.verbose:
+        err.write("  => Time.Windowed Small ")
+        timers.windowed_s.print(err, timer_global)
+        err.write("  => Time.Windowed Large ")
+        timers.windowed_l.print(err, timer_global)
+        err.write("  => Time.Banded         ")
+        timers.banded.print(err, timer_global)
+        err.write("  => Time.Align          ")
+        timers.align.print(err, timer_global)
+    if stats is not None:
+        print("[Accuracy]", file=err)
+        err.write(" => Alignments.Correct     ")
+        stats.align_correct.print(err, stats.align, "alg       ")
+        if args.check in ("score", "alignment"):
+            err.write(" => Score.Correct          ")
+            stats.align_score.print(err, stats.align, "alg       ")
+            err.write("   => Score.Total          ")
+            stats.align_score_total.print(err, None, "score uds.")
+            err.write("     => Score.Diff         ")
+            stats.align_score_diff.print(err, stats.align_score_total,
+                                         "score uds.")
+        if args.check == "alignment":
+            err.write(" => CIGAR.Correct          ")
+            stats.align_cigar.print(err, stats.align, "alg       ")
+        err.write(" => CIGAR.Breakdown        \n")
+        for label, c in (("Matches   ", stats.align_matches),
+                         ("Mismatches", stats.align_mismatches),
+                         ("Insertions", stats.align_ins),
+                         ("Deletions ", stats.align_del)):
+            err.write(f"   => CIGAR.{label}     ")
+            c.print(err, stats.align_bases, "bases     ")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

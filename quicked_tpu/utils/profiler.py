@@ -1,0 +1,145 @@
+"""Profiling: phase timers and statistics counters.
+
+Re-expresses the reference profiling surface
+(quicked_utils/src/profiler_timer.c, profiler_counter.c):
+
+  - Timer: ns-resolution start/stop/pause/continue accumulating timer
+    (timer_start/stop/pause/continue, profiler_timer.c:53-73) with the
+    reference's print format (timer_print, including percent-of-total).
+  - Counter: running total/min/max/mean/variance via Welford's update
+    (counter_add, profiler_counter.h:34-43 m_oldM..m_newS fields).
+
+The aligner carries five phase timers — total, windowed_s, windowed_l,
+banded, align (quicked.h:62-66) — started/stopped around each cascade
+stage; `jax.profiler` traces cover the device side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+
+
+@dataclasses.dataclass
+class Counter:
+    """Statistics counter (profiler_counter.h:30-49)."""
+
+    total: int = 0
+    samples: int = 0
+    min: int = 0
+    max: int = 0
+    _old_m: float = 0.0
+    _new_m: float = 0.0
+    _old_s: float = 0.0
+    _new_s: float = 0.0
+
+    def add(self, amount: int) -> None:
+        """counter_add (profiler_counter.c)."""
+        if self.samples == 0:
+            self.min = amount
+            self.max = amount
+            self._old_m = self._new_m = float(amount)
+            self._old_s = 0.0
+        else:
+            self.min = min(self.min, amount)
+            self.max = max(self.max, amount)
+            self._new_m = self._old_m + (amount - self._old_m) / (self.samples + 1)
+            self._new_s = self._old_s + \
+                (amount - self._old_m) * (amount - self._new_m)
+            self._old_m = self._new_m
+            self._old_s = self._new_s
+        self.total += amount
+        self.samples += 1
+
+    def mean(self) -> float:
+        return self._new_m if self.samples else 0.0
+
+    def variance(self) -> float:
+        return self._new_s / (self.samples - 1) if self.samples > 1 else 0.0
+
+    def stddev(self) -> float:
+        return math.sqrt(self.variance())
+
+    def reset(self) -> None:
+        self.__init__()
+
+    def print(self, stream, total: "Counter | None" = None,
+              units: str = "") -> None:
+        """counter_print format: total (percent) (samples, mean)."""
+        pct = ""
+        if total is not None and total.total:
+            pct = f" ({100.0 * self.total / total.total:6.2f} %)"
+        stream.write(f"{self.total:>15} {units}{pct}"
+                     f" (samples={self.samples},mean={self.mean():.2f})\n")
+
+
+class Timer:
+    """ns-resolution accumulating phase timer (profiler_timer.c:53-73)."""
+
+    def __init__(self):
+        self.time_ns = 0
+        self._begin = None
+        self.count = Counter()
+
+    def start(self) -> None:
+        self.time_ns = 0
+        self._begin = time.perf_counter_ns()
+
+    def stop(self) -> None:
+        if self._begin is None:
+            return
+        self.time_ns += time.perf_counter_ns() - self._begin
+        self._begin = None
+        self.count.add(self.time_ns)
+
+    def pause(self) -> None:
+        """timer_pause: accumulate without closing the sample."""
+        if self._begin is None:
+            return
+        self.time_ns += time.perf_counter_ns() - self._begin
+        self._begin = None
+
+    def resume(self) -> None:
+        """timer_continue."""
+        self._begin = time.perf_counter_ns()
+
+    def total_ns(self) -> int:
+        acc = self.count.total
+        if self._begin is not None:
+            acc += time.perf_counter_ns() - self._begin
+        return acc
+
+    def print(self, stream, total: "Timer | None" = None) -> None:
+        """timer_print format: human time + percent of a total timer."""
+        ns = self.count.total
+        pct = ""
+        if total is not None and total.count.total:
+            pct = f" ({100.0 * ns / total.count.total:6.2f} %)"
+        stream.write(f"{_human_time(ns)}{pct}\n")
+
+
+def _human_time(ns: int) -> str:
+    """TIMER_CONVERT semantics: pick a readable unit."""
+    if ns < 1_000:
+        return f"{ns:8d} ns"
+    if ns < 1_000_000:
+        return f"{ns / 1_000:8.2f} us"
+    if ns < 1_000_000_000:
+        return f"{ns / 1_000_000:8.2f} ms"
+    if ns < 60 * 1_000_000_000:
+        return f"{ns / 1_000_000_000:8.2f} s "
+    if ns < 3600 * 1_000_000_000:
+        return f"{ns / 60_000_000_000:8.2f} m "
+    return f"{ns / 3_600_000_000_000:8.2f} h "
+
+
+@dataclasses.dataclass
+class PhaseTimers:
+    """The aligner's five phase timers (quicked.h:62-66)."""
+
+    total: Timer = dataclasses.field(default_factory=Timer)
+    windowed_s: Timer = dataclasses.field(default_factory=Timer)
+    windowed_l: Timer = dataclasses.field(default_factory=Timer)
+    banded: Timer = dataclasses.field(default_factory=Timer)
+    align: Timer = dataclasses.field(default_factory=Timer)

@@ -1,0 +1,81 @@
+"""End-to-end tests of the batch-first engine (device kernels): parity
+with the exact numpy semantic model — and therefore with the C reference,
+via test_myers_np.py's byte-parity tests."""
+
+import numpy as np
+import pytest
+
+from quicked_tpu import generate
+from quicked_tpu.aligner import hirschberg as hb
+from quicked_tpu.aligner.batch import align_batch_full, banded_align_batch
+from quicked_tpu.aligner.cascade import quicked_cascade_batch
+from quicked_tpu.cigar import Cigar
+from quicked_tpu.ops import myers_np
+from quicked_tpu.params import QuickedAlgo, QuickedParams, QuickedStatus
+
+
+def _pairs(n, length, error, seed, length_diff=1.0):
+    return list(generate.generate_pairs(n, length, error=error, seed=seed,
+                                        length_diff=length_diff))
+
+
+def test_banded_batch_cigar_parity():
+    pairs = _pairs(4, 200, 0.1, 1) + _pairs(3, 400, 0.15, 2, 1.2)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    cutoffs = [max(len(p), len(t)) * 25 // 100 for p, t in pairs]
+    scores, ops = banded_align_batch(pats, txts, cutoffs, only_score=False)
+    for i, (p, t) in enumerate(pairs):
+        ms, mo = myers_np.banded_align(p, t, cutoffs[i])
+        assert scores[i] == ms
+        assert ops[i] == mo
+
+
+def test_hirschberg_batch_parity(monkeypatch):
+    # Shrink the base-case budget to force real splits on small inputs;
+    # cutoffs are tight bounds, as the QuickEd cascade produces.
+    monkeypatch.setattr(hb, "HIRSCHBERG_BUFFER_SIZE", 4096)
+    monkeypatch.setattr(myers_np, "HIRSCHBERG_BUFFER", 4096)
+    pairs = _pairs(4, 400, 0.1, 11) + _pairs(2, 600, 0.12, 12)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    from quicked_tpu.ops import edit_dp
+    cutoffs = [edit_dp.edit_distance(p, t) + 16 for p, t in pairs]
+    res = hb.hirschberg_batch(txts, pats, cutoffs)
+    for i, (p, t) in enumerate(pairs):
+        mstatus, mops = myers_np.hirschberg(t, p, cutoffs[i])
+        st, ops = res[i]
+        assert st == mstatus
+        if st == QuickedStatus.QUICKED_OK:
+            assert ops == mops, (i, p, t)
+
+
+@pytest.mark.parametrize("length,error,seed", [
+    (200, 0.05, 21), (300, 0.1, 22), (250, 0.2, 23),
+])
+def test_quicked_cascade_batch_parity(length, error, seed):
+    pairs = _pairs(6, length, error, seed)
+    res = quicked_cascade_batch(pairs)
+    for i, (p, t) in enumerate(pairs):
+        mstatus, mops = myers_np.quicked_align(p, t)
+        assert int(res.status[i]) == int(mstatus)
+        c = Cigar(operations=mops)
+        assert res.score[i] == c.score_edit()
+        assert res.cigar[i] == c.sprint(True)
+
+
+def test_align_batch_full_quicked():
+    pairs = _pairs(5, 150, 0.1, 31)
+    res = align_batch_full(pairs, QuickedParams(algo=QuickedAlgo.QUICKED))
+    for i, (p, t) in enumerate(pairs):
+        _, mops = myers_np.quicked_align(p, t)
+        assert res.cigar[i] == Cigar(operations=mops).sprint(True)
+        assert res.score[i] == Cigar(operations=mops).score_edit()
+
+
+def test_align_batch_empty_sequences():
+    res = align_batch_full([("", "ACGT"), ("ACGT", "ACGT")],
+                           QuickedParams(algo=QuickedAlgo.QUICKED))
+    assert res.status[0] == QuickedStatus.QUICKED_EMPTY_SEQUENCE
+    assert res.status[1] == QuickedStatus.QUICKED_OK
+    assert res.score[1] == 0

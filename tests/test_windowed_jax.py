@@ -1,0 +1,64 @@
+"""Parity tests: the batched JAX windowed kernel vs the exact numpy model
+(score, high-error-window count)."""
+
+import numpy as np
+import pytest
+
+from quicked_tpu import generate
+from quicked_tpu.ops import myers_np
+from quicked_tpu.ops.windowed_jax import prepare_windowed_batch, run_windowed_score
+
+
+def _pairs(n, length, error, seed, length_diff=1.0):
+    return list(generate.generate_pairs(n, length, error=error, seed=seed,
+                                        length_diff=length_diff))
+
+
+@pytest.mark.parametrize("ws,ovl,length,error,seed,ldiff", [
+    (2, 1, 150, 0.05, 1, 1.0),
+    (2, 1, 300, 0.1, 2, 1.0),
+    (2, 1, 400, 0.2, 3, 1.2),
+    (2, 1, 129, 0.1, 4, 0.8),
+    (9, 1, 700, 0.1, 5, 1.0),
+    (9, 1, 1200, 0.15, 6, 1.0),
+    (3, 2, 300, 0.1, 7, 1.0),
+])
+def test_windowed_jax_score_parity(ws, ovl, length, error, seed, ldiff):
+    pairs = _pairs(6, length, error, seed, length_diff=ldiff)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    batch = prepare_windowed_batch(pats, txts, window_size=ws)
+    score, hew = run_windowed_score(batch, 40, ws, ovl)
+    for i, (p, t) in enumerate(pairs):
+        ms, _, mhew = myers_np.windowed_compute(p, t, 40, ws, ovl,
+                                                score_only=True)
+        assert score[i] == ms, (i, p, t)
+        assert hew[i] == mhew, (i, p, t)
+
+
+def test_windowed_jax_mixed_lengths():
+    pairs = (_pairs(2, 80, 0.1, 11) + _pairs(2, 500, 0.15, 12)
+             + _pairs(2, 257, 0.05, 13, 1.3))
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    batch = prepare_windowed_batch(pats, txts, window_size=2, pad_to_b=8)
+    score, hew = run_windowed_score(batch, 40, 2, 1)
+    for i, (p, t) in enumerate(pairs):
+        ms, _, mhew = myers_np.windowed_compute(p, t, 40, 2, 1,
+                                                score_only=True)
+        assert score[i] == ms
+        assert hew[i] == mhew
+
+
+def test_windowed_jax_short_pairs():
+    # Pairs much shorter than one window.
+    pairs = _pairs(4, 30, 0.1, 14) + _pairs(2, 64, 0.2, 15)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    batch = prepare_windowed_batch(pats, txts, window_size=2)
+    score, hew = run_windowed_score(batch, 40, 2, 1)
+    for i, (p, t) in enumerate(pairs):
+        ms, _, mhew = myers_np.windowed_compute(p, t, 40, 2, 1,
+                                                score_only=True)
+        assert score[i] == ms
+        assert hew[i] == mhew
