@@ -20,7 +20,9 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-N_PAIRS = 512
+# Lane count sets VPU utilization: measured on v5e, the banded kernel
+# scales 1.6 -> 7.6 -> 8.3 Gbases/s at B = 512 / 2048 / 4096.
+N_PAIRS = 4096
 LENGTH = 5000
 ERROR = 0.10
 BANDWIDTH = 15
@@ -30,6 +32,10 @@ REPS = 3
 def _tpu_rate(pairs):
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from quicked_tpu.ops.banded_jax import _banded_scan
     from quicked_tpu.ops.batch_prep import prepare_banded_batch

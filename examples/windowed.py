@@ -1,0 +1,22 @@
+"""WINDOWED algorithm with CIGAR (examples/windowed.c parity)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+from quicked_tpu.api import QuickedAligner
+from quicked_tpu.params import QuickedAlgo, QuickedParams
+
+params = QuickedParams(algo=QuickedAlgo.WINDOWED, window_size=2,
+                       overlap_size=1)
+aligner = QuickedAligner(params)
+
+pattern = "ACGT"
+text = "ACTT"
+
+print(f"Aligning '{pattern}' and '{text}' using Windowed")
+aligner.align(pattern, text)
+print(f"Score: {aligner.get_score()}")
+print(f"CIGAR: {aligner.get_cigar()}")

@@ -19,7 +19,7 @@ from quicked_tpu.cigar import Cigar
 from quicked_tpu.ops import myers_np
 from quicked_tpu.ops.batch_prep import prepare_banded_batch, extract_final_scores
 from quicked_tpu.ops.banded_jax import run_banded
-from quicked_tpu.ops.traceback_np import banded_traceback_pair
+from quicked_tpu.ops.traceback_np import banded_traceback_batch
 from quicked_tpu.params import (
     QuickedAlgo,
     QuickedParams,
@@ -67,6 +67,22 @@ def bucket_keys(plens, tlens, cutoffs, full: bool):
 # stored band snapshots are NB*64*EBB*16 bytes per lane (4 u32 planes).
 FULL_FILL_BYTES_BUDGET = 1 << 30
 
+# Kernel selector: the wavefront (anti-diagonal pipelined) kernel wins
+# when the band is deep and the batch narrow — its vector ops are
+# (64*B)-wide with ~(64+EBB) steps/block vs (B,)-wide with 64*EBB
+# steps/block for the pairs-as-lanes kernel.
+WAVEFRONT_MIN_EBB = 48
+WAVEFRONT_MAX_B = 256
+
+
+def _run_banded_auto(batch):
+    """Pick the banded kernel by batch geometry (score-only batches)."""
+    if not batch.full and batch.EBB >= WAVEFRONT_MIN_EBB \
+            and batch.B <= WAVEFRONT_MAX_B:
+        from quicked_tpu.ops.banded_wavefront_jax import run_banded_wavefront
+        return run_banded_wavefront(batch)
+    return run_banded(batch)
+
 
 def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                        min_lanes: int = 8):
@@ -101,17 +117,20 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             batch = prepare_banded_batch(
                 pats, txts, cos, full=not only_score,
                 pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
-            out = run_banded(batch)
+            out = _run_banded_auto(batch)
             sc = extract_final_scores(batch, out["scores_by_k"])
             for j, i in enumerate(sub):
                 scores[i] = sc[j]
             if not only_score:
+                ops = banded_traceback_batch(
+                    out["mat_pv_lo"], out["mat_pv_hi"],
+                    out["mat_mv_lo"], out["mat_mv_hi"],
+                    list(range(len(sub))),
+                    [_raw_bytes(patterns[i]).tobytes() for i in sub],
+                    [_raw_bytes(texts[i]).tobytes() for i in sub],
+                    [int(batch.prolog[j]) for j in range(len(sub))])
                 for j, i in enumerate(sub):
-                    ops_out[i] = banded_traceback_pair(
-                        out["mat_pv_lo"][:, :, j], out["mat_pv_hi"][:, :, j],
-                        out["mat_mv_lo"][:, :, j], out["mat_mv_hi"][:, :, j],
-                        _raw_bytes(patterns[i]), _raw_bytes(texts[i]),
-                        int(batch.prolog[j]))
+                    ops_out[i] = ops[j]
     return scores, ops_out
 
 
@@ -145,7 +164,7 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
         batch = prepare_banded_batch(
             pats, txts, cos, full=False, text_finish=fins,
             pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
-        out = run_banded(batch)
+        out = _run_banded_auto(batch)
         final_scores = extract_final_scores(batch, out["scores_by_k"])
         for j, i in enumerate(idxs):
             prolog = int(batch.prolog[j])
@@ -202,6 +221,41 @@ def align_batch_full(pairs, params: QuickedParams | None = None) -> BatchResult:
             st, s, c = _finish(QuickedStatus.QUICKED_WIP, sc[j], ops[j],
                                params.only_score)
             statuses[i], scores[i], cigars[i] = st, s, c
+        return BatchResult(statuses, scores, cigars)
+
+    if algo == QuickedAlgo.WINDOWED and params.use_kernels:
+        from quicked_tpu.aligner.cascade import (windowed_full_batch,
+                                                 windowed_score_batch)
+        pats = [pairs[i][0] for i in live]
+        txts = [pairs[i][1] for i in live]
+        if params.only_score:
+            sc, _ = windowed_score_batch(pats, txts, 0,
+                                         params.window_size,
+                                         params.overlap_size)
+            for j, i in enumerate(live):
+                st, s, c = _finish(QuickedStatus.QUICKED_WIP, sc[j], None,
+                                   True)
+                statuses[i], scores[i], cigars[i] = st, s, c
+        else:
+            ops = windowed_full_batch(pats, txts, params.window_size,
+                                      params.overlap_size)
+            for j, i in enumerate(live):
+                st, s, c = _finish(QuickedStatus.QUICKED_WIP, None, ops[j],
+                                   False)
+                statuses[i], scores[i], cigars[i] = st, s, c
+        return BatchResult(statuses, scores, cigars)
+
+    if algo == QuickedAlgo.HIRSCHBERG and params.use_kernels:
+        from quicked_tpu.aligner.hirschberg import hirschberg_batch
+        pats = [pairs[i][0] for i in live]
+        txts = [pairs[i][1] for i in live]
+        cos = [max(len(p), len(t)) * params.bandwidth // 100
+               for p, t in zip(pats, txts)]
+        res = hirschberg_batch(txts, pats, cos)
+        for j, i in enumerate(live):
+            st, ops = res[j]
+            st2, s, c = _finish(st, None, ops, False)
+            statuses[i], scores[i], cigars[i] = st2, s, c
         return BatchResult(statuses, scores, cigars)
 
     if algo == QuickedAlgo.QUICKED and params.use_kernels:

@@ -19,7 +19,11 @@ import dataclasses
 import numpy as np
 
 from quicked_tpu.cigar import Cigar
-from quicked_tpu.ops.windowed_jax import prepare_windowed_batch, run_windowed_score
+from quicked_tpu.ops.windowed_jax import (
+    prepare_windowed_batch,
+    run_windowed_full,
+    run_windowed_score,
+)
 from quicked_tpu.params import QuickedParams, QuickedStatus
 
 W = 64
@@ -61,6 +65,30 @@ def windowed_score_batch(patterns, texts, hew_threshold: int,
             scores[i] = sc[j]
             hews[i] = hw[j]
     return scores, hews
+
+
+def windowed_full_batch(patterns, texts, window_size: int,
+                        overlap_size: int, min_lanes: int = 8) -> list:
+    """Bucketed batched full-CIGAR windowed alignment; returns op
+    strings in input order."""
+    n = len(patterns)
+    out: list = [None] * n
+    cols = W * window_size
+    by_key: dict = {}
+    for i in range(n):
+        key = _next_pow2(max(len(patterns[i]), len(texts[i]), cols))
+        by_key.setdefault(key, []).append(i)
+    for size, idxs in by_key.items():
+        pats = [patterns[i] for i in idxs]
+        txts = [texts[i] for i in idxs]
+        b_pad = max(_next_pow2(len(idxs)), min_lanes)
+        batch = prepare_windowed_batch(
+            pats, txts, window_size=window_size, pad_to_b=b_pad,
+            min_t=size, min_p=size, min_kp=size // W + 1)
+        ops = run_windowed_full(batch, window_size, overlap_size)
+        for j, i in enumerate(idxs):
+            out[i] = ops[j]
+    return out
 
 
 def quicked_cascade_batch(pairs, params: QuickedParams | None = None,

@@ -49,15 +49,13 @@ class Cigar:
     # ---- scoring (cigar.c:274-289) ------------------------------------
     def score_edit(self) -> int:
         """Edit score: M=0, X/I/D=1."""
-        s = 0
-        for op in self.operations:
-            if op == "M":
-                pass
-            elif op in "XID":
-                s += 1
-            else:
-                raise ValueError(f"[CIGAR] Unknown operation ({op})")
-        return s
+        if not set(self.operations) <= set("MXID"):
+            bad = next(op for op in self.operations if op not in "MXID")
+            raise ValueError(f"[CIGAR] Unknown operation ({bad})")
+        from quicked_tpu import native
+        if native.available():
+            return native.cigar_score_edit(self.operations)
+        return sum(1 for op in self.operations if op != "M")
 
     # ---- comparison (cigar.c:293-311) ----------------------------------
     def cmp(self, other: "Cigar") -> int:
@@ -94,6 +92,9 @@ class Cigar:
 
         With print_matches=False, 'M' runs are omitted entirely.
         """
+        from quicked_tpu import native
+        if native.available():
+            return native.cigar_sprint(self.operations, print_matches)
         out = []
         for count, op in self._runs():
             if print_matches or op != "M":
@@ -156,6 +157,12 @@ class Cigar:
     # ---- checking (cigar_check_alignment, cigar.c:363-434) --------------
     def check_alignment(self, pattern: str, text: str, verbose: bool = False) -> bool:
         """Replay operations against both sequences; True iff consistent."""
+        from quicked_tpu import native
+        if not verbose and native.available() and \
+                set(self.operations) <= set("MXID"):
+            return native.cigar_check(self.operations,
+                                      pattern.encode("ascii", "replace"),
+                                      text.encode("ascii", "replace"))
         p = t = 0
         for op in self.operations:
             if op == "M":

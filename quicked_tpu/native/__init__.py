@@ -1,0 +1,141 @@
+"""Native host runtime: ctypes bindings over libquicked_host.
+
+The shared library is built lazily from `src/quicked_host.c` with the
+system C compiler (no pip deps); consumers check `available()` and fall
+back to the pure-Python implementations when the toolchain is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "quicked_host.c")
+_LIB_PATH = os.path.join(_DIR, "libquicked_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i64 = ctypes.c_int64
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or \
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            if not _build():
+                print("quicked_tpu: native host lib unavailable "
+                      "(no C compiler); using Python fallbacks",
+                      file=sys.stderr)
+                return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.qh_encode_dna.argtypes = [_u8p, _i64, _u8p]
+        lib.qh_traceback_banded.restype = _i64
+        lib.qh_traceback_banded.argtypes = [
+            _u32p, _u32p, _u32p, _u32p, _i64, _i64, _i64,
+            _u8p, _i64, _u8p, _i64, _i64, ctypes.c_char_p]
+        lib.qh_cigar_score_edit.restype = _i64
+        lib.qh_cigar_score_edit.argtypes = [ctypes.c_char_p, _i64]
+        lib.qh_cigar_check.restype = ctypes.c_int
+        lib.qh_cigar_check.argtypes = [ctypes.c_char_p, _i64, _u8p, _i64,
+                                       _u8p, _i64]
+        lib.qh_cigar_sprint.restype = _i64
+        lib.qh_cigar_sprint.argtypes = [ctypes.c_char_p, _i64,
+                                        ctypes.c_int, ctypes.c_char_p]
+        lib.qh_cigar_sam.restype = _i64
+        lib.qh_cigar_sam.argtypes = [ctypes.c_char_p, _i64, _u32p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u32arr(a: np.ndarray):
+    assert a.dtype == np.uint32 and a.flags.c_contiguous
+    return a.ctypes.data_as(_u32p)
+
+
+def _u8bytes(s: bytes):
+    return ctypes.cast(ctypes.c_char_p(s), _u8p)
+
+
+def traceback_banded(mat_pv_lo, mat_pv_hi, mat_mv_lo, mat_mv_hi,
+                     lane: int, pattern_raw: bytes, text_raw: bytes,
+                     prolog: int) -> str:
+    """Traceback one lane of the batched (T, EBB, B) band planes."""
+    lib = _load()
+    T, ebb, nlanes = mat_pv_lo.shape
+    plen, tlen = len(pattern_raw), len(text_raw)
+    out = ctypes.create_string_buffer(plen + tlen + 1)
+    n = lib.qh_traceback_banded(
+        _u32arr(mat_pv_lo), _u32arr(mat_pv_hi),
+        _u32arr(mat_mv_lo), _u32arr(mat_mv_hi),
+        ebb, nlanes, lane,
+        _u8bytes(pattern_raw), plen, _u8bytes(text_raw), tlen,
+        prolog, out)
+    return out.raw[:n].decode("ascii")
+
+
+def cigar_score_edit(ops: str) -> int:
+    lib = _load()
+    b = ops.encode("ascii")
+    return int(lib.qh_cigar_score_edit(b, len(b)))
+
+
+def cigar_check(ops: str, pattern: bytes, text: bytes) -> bool:
+    lib = _load()
+    b = ops.encode("ascii")
+    return bool(lib.qh_cigar_check(b, len(b), _u8bytes(pattern),
+                                   len(pattern), _u8bytes(text), len(text)))
+
+
+def cigar_sprint(ops: str, print_matches: bool) -> str:
+    lib = _load()
+    b = ops.encode("ascii")
+    out = ctypes.create_string_buffer(12 * max(len(b), 1))
+    n = lib.qh_cigar_sprint(b, len(b), int(print_matches), out)
+    return out.raw[:n].decode("ascii")
+
+
+def cigar_sam(ops: str) -> np.ndarray:
+    lib = _load()
+    b = ops.encode("ascii")
+    out = np.empty(max(len(b), 1), dtype=np.uint32)
+    n = lib.qh_cigar_sam(b, len(b), _u32arr(out))
+    return out[:n].copy()
+
+
+def encode_dna(raw: bytes) -> np.ndarray:
+    lib = _load()
+    out = np.empty(len(raw), dtype=np.uint8)
+    lib.qh_encode_dna(_u8bytes(raw), len(raw),
+                      out.ctypes.data_as(_u8p))
+    return out

@@ -93,7 +93,9 @@ def _maintenance(pv, mv, scw, first, last, captures, nb, batch_consts, EBB,
     dec = do_shift & (~cut_lower) & (pos_h < prolog)
     first = first + inc.astype(I32) - dec.astype(I32)
 
-    j_idx = jnp.arange(EBB, dtype=I32)[:, None]
+    # broadcasted_iota (not arange): this helper also runs inside the
+    # Pallas kernel, where 1-D iota is unsupported
+    j_idx = jax.lax.broadcasted_iota(I32, (EBB, 1), 0)
     m_shift = do_shift[None, :] & (j_idx >= first[None, :]) & \
         (j_idx < last[None, :])
     m_top = do_shift[None, :] & (j_idx == last[None, :])
@@ -107,7 +109,7 @@ def _maintenance(pv, mv, scw, first, last, captures, nb, batch_consts, EBB,
     mv = (shift(mv[0], jnp.uint32(0)), shift(mv[1], jnp.uint32(0)))
 
     # scores[last + pos_v + 1] = scores[last + pos_v] + 64 → window row last+1
-    w_idx = jnp.arange(EBB + 1, dtype=I32)[:, None]
+    w_idx = jax.lax.broadcasted_iota(I32, (EBB + 1, 1), 0)
     m_write = do_shift[None, :] & (w_idx == (last + 1)[None, :])
     scw = jnp.where(m_write, (c_last + W)[None, :], scw)
 

@@ -1,0 +1,290 @@
+"""Pallas TPU kernel: batched BandEd score-only (pairs-as-lanes).
+
+The Mosaic fast path for the sequential banded kernel
+(banded_jax.banded_scan_impl, full=False). Same dataflow, same
+arithmetic, bit-exact outputs; the Pallas advantages over the XLA scan:
+
+  - the band state (Pv/Mv/scores window/first/last) lives in VMEM
+    scratch across the whole text sweep — no carried-scan shuffling;
+  - the PEQ/level-mask band window is DMA'd from HBM once per 64-column
+    text block (the sliding shifted-frame window, batch_prep.py);
+  - the per-column block loop runs with *dynamic bounds*
+    [min(first), max(last)] over the lane tile — dead band rows are
+    skipped entirely (the C reference's first_block_v..last_block_v
+    loop, bpm_banded.c:830-886), which a static-shape XLA scan cannot do.
+
+Grid: (pair_tiles, NB) with NB innermost — each pair tile's state
+persists in scratch across its NB text blocks. Lane tile = 1024 pairs
+(8 sublanes x 128 lanes of u32).
+
+Reuses banded_jax._maintenance (pure jnp) for the per-64-column band
+cut/shift so the two kernels cannot drift.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quicked_tpu.ops import u64
+from quicked_tpu.ops.banded_jax import _maintenance
+from quicked_tpu.ops.batch_prep import BandedBatch
+
+W = 64
+U32 = jnp.uint32
+I32 = jnp.int32
+LANES = 1024  # pairs per tile: 8 sublanes x 128 lanes
+
+
+def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
+            text_ref, init_ref, cutoff_ref, prolog_ref, nbr_ref,
+            finishv_ref, tfinish_ref, first0_ref, last0_ref,  # VMEM in
+            scores_out, pv_lo_out, pv_hi_out, mv_lo_out, mv_hi_out,
+            first_out, last_out,                              # VMEM out
+            pv_lo, pv_hi, mv_lo, mv_hi, scw, fl,              # scratch
+            peq_win_lo, peq_win_hi, lm_win_lo, lm_win_hi, sems,
+            *, EBB: int, NB: int, K: int):
+    p = pl.program_id(0)
+    nb = pl.program_id(1)
+
+    @pl.when(nb == 0)
+    def _init():
+        pv_lo[:] = jnp.full((EBB, LANES), 0xFFFFFFFF, U32)
+        pv_hi[:] = jnp.full((EBB, LANES), 0xFFFFFFFF, U32)
+        mv_lo[:] = jnp.zeros((EBB, LANES), U32)
+        mv_hi[:] = jnp.zeros((EBB, LANES), U32)
+        scw[:] = init_ref[0]
+        fl[0, :] = first0_ref[0]
+        fl[1, :] = last0_ref[0]
+
+    # stream this block's PEQ/level-mask band window from HBM
+    copies = [
+        pltpu.make_async_copy(peq_lo_hbm.at[p, pl.ds(nb, EBB)],
+                              peq_win_lo, sems.at[0]),
+        pltpu.make_async_copy(peq_hi_hbm.at[p, pl.ds(nb, EBB)],
+                              peq_win_hi, sems.at[1]),
+        pltpu.make_async_copy(lm_lo_hbm.at[p, pl.ds(nb, EBB)],
+                              lm_win_lo, sems.at[2]),
+        pltpu.make_async_copy(lm_hi_hbm.at[p, pl.ds(nb, EBB)],
+                              lm_win_hi, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    first = fl[0, :]
+    last = fl[1, :]
+    tfinish = tfinish_ref[0]
+    # dynamic live-band bounds across the lane tile
+    blk_lo = jnp.min(first)
+    blk_hi = jnp.max(last)
+
+    def col_body(j, _):
+        c = text_ref[0, j, :]
+        t_global = nb * W + j
+        col_act = t_global < tfinish
+
+        def blk_body(i, carry):
+            phin, mhin = carry
+            row_lo = peq_win_lo[i]      # (5, LANES)
+            row_hi = peq_win_hi[i]
+            eq_lo = row_lo[0]
+            eq_hi = row_hi[0]
+            for a in range(1, 5):
+                sel = c == a
+                eq_lo = jnp.where(sel, row_lo[a], eq_lo)
+                eq_hi = jnp.where(sel, row_hi[a], eq_hi)
+            is_first = i == first
+            phin_eff = jnp.where(is_first, jnp.ones((LANES,), U32), phin)
+            mhin_eff = jnp.where(is_first, jnp.zeros((LANES,), U32), mhin)
+            npv_lo, npv_hi, nmv_lo, nmv_hi, phout, mhout = \
+                u64.advance_block64(eq_lo, eq_hi, lm_win_lo[i],
+                                    lm_win_hi[i], pv_lo[i], pv_hi[i],
+                                    mv_lo[i], mv_hi[i], phin_eff,
+                                    mhin_eff)
+            act = col_act & (i >= first) & (i <= last)
+            pv_lo[i] = jnp.where(act, npv_lo, pv_lo[i])
+            pv_hi[i] = jnp.where(act, npv_hi, pv_hi[i])
+            mv_lo[i] = jnp.where(act, nmv_lo, mv_lo[i])
+            mv_hi[i] = jnp.where(act, nmv_hi, mv_hi[i])
+            scw[i] = jnp.where(
+                act, scw[i] + phout.astype(I32) - mhout.astype(I32),
+                scw[i])
+            return phout, mhout
+
+        jax.lax.fori_loop(blk_lo, blk_hi + 1, blk_body,
+                          (jnp.ones((LANES,), U32),
+                           jnp.zeros((LANES,), U32)))
+        return 0
+
+    jax.lax.fori_loop(0, W, col_body, 0)
+
+    # band maintenance (shared jnp implementation, banded_jax.py)
+    pvs = (pv_lo[:], pv_hi[:])
+    mvs = (mv_lo[:], mv_hi[:])
+    scw_v = scw[:]
+    srows = scw_v[:EBB]
+
+    def cap(at):
+        # per-lane row select as a masked reduction (Mosaic's gather
+        # lowering doesn't cover take_along_axis here)
+        at_c = jnp.clip(at, 0, EBB - 1)
+        rows = jax.lax.broadcasted_iota(I32, (EBB, 1), 0)
+        return jnp.where(rows == at_c[None, :], srows, 0).sum(axis=0)
+
+    captures = (cap(first + 1), cap(last - 1), cap(last))
+    batch_consts = (cutoff_ref[0], prolog_ref[0], nbr_ref[0],
+                    finishv_ref[0], tfinish)
+    pvs, mvs, scw_v, first_n, last_n = _maintenance(
+        pvs, mvs, scw_v, first, last, captures, nb, batch_consts, EBB,
+        full_variant=False)
+    # dropped row + scores-window roll
+    scores_out[0, nb, :] = scw_v[0]
+    new_k = nb + 1 + EBB
+    new_row = ((new_k - prolog_ref[0] + 1) * W).astype(I32)
+    scw[:] = jnp.concatenate([scw_v[1:], new_row[None, :]], axis=0)
+    pv_lo[:], pv_hi[:] = pvs
+    mv_lo[:], mv_hi[:] = mvs
+    fl[0, :] = first_n
+    fl[1, :] = last_n
+
+    @pl.when(nb == NB - 1)
+    def _finish():
+        scores_out[0, pl.ds(NB, EBB + 1), :] = scw[:]
+        pv_lo_out[0] = pv_lo[:]
+        pv_hi_out[0] = pv_hi[:]
+        mv_lo_out[0] = mv_lo[:]
+        mv_hi_out[0] = mv_hi[:]
+        first_out[0] = fl[0, :]
+        last_out[0] = fl[1, :]
+
+
+@partial(jax.jit, static_argnames=("EBB", "NB", "K", "interpret"))
+def _pallas_banded(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
+                   cutoff, prolog, nbr, finish_v, tfinish, first0, last0,
+                   *, EBB: int, NB: int, K: int, interpret: bool = False):
+    P = text.shape[0]
+    grid = (P, NB)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    lanevec = pl.BlockSpec((1, LANES), lambda p, nb: (p, 0),
+                           memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((P, K + 1, LANES), jnp.int32),   # scores
+        jax.ShapeDtypeStruct((P, EBB, LANES), jnp.uint32),    # pv_lo
+        jax.ShapeDtypeStruct((P, EBB, LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((P, EBB, LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((P, EBB, LANES), jnp.uint32),
+        jax.ShapeDtypeStruct((P, LANES), jnp.int32),          # first
+        jax.ShapeDtypeStruct((P, LANES), jnp.int32),          # last
+    )
+    out_specs = (
+        pl.BlockSpec((1, K + 1, LANES), lambda p, nb: (p, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, EBB, LANES), lambda p, nb: (p, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, EBB, LANES), lambda p, nb: (p, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, EBB, LANES), lambda p, nb: (p, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, EBB, LANES), lambda p, nb: (p, 0, 0),
+                     memory_space=pltpu.VMEM),
+        lanevec,
+        lanevec,
+    )
+    return pl.pallas_call(
+        partial(_kernel, EBB=EBB, NB=NB, K=K),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            hbm, hbm, hbm, hbm,                                # peq/lm
+            pl.BlockSpec((1, W, LANES), lambda p, nb: (p, nb, 0),
+                         memory_space=pltpu.VMEM),              # text
+            pl.BlockSpec((1, EBB + 1, LANES), lambda p, nb: (p, 0, 0),
+                         memory_space=pltpu.VMEM),              # init
+            lanevec, lanevec, lanevec, lanevec, lanevec,       # consts
+            lanevec, lanevec,                                  # first0/last0
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((EBB, LANES), jnp.uint32),   # pv_lo
+            pltpu.VMEM((EBB, LANES), jnp.uint32),
+            pltpu.VMEM((EBB, LANES), jnp.uint32),
+            pltpu.VMEM((EBB, LANES), jnp.uint32),
+            pltpu.VMEM((EBB + 1, LANES), jnp.int32),  # scw
+            pltpu.VMEM((2, LANES), jnp.int32),        # first/last
+            pltpu.VMEM((EBB, 5, LANES), jnp.uint32),  # peq window
+            pltpu.VMEM((EBB, 5, LANES), jnp.uint32),
+            pltpu.VMEM((EBB, LANES), jnp.uint32),     # lm window
+            pltpu.VMEM((EBB, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores, cutoff, prolog,
+      nbr, finish_v, tfinish, first0, last0)
+
+
+def _tile_lanes(a: np.ndarray) -> np.ndarray:
+    """(..., B) -> (P, ..., LANES): lanes pre-tiled for the grid."""
+    B = a.shape[-1]
+    P = B // LANES
+    moved = np.moveaxis(a.reshape(a.shape[:-1] + (P, LANES)), -2, 0)
+    return np.ascontiguousarray(moved)
+
+
+def _untile_lanes(a: np.ndarray) -> np.ndarray:
+    """(P, ..., LANES) -> (..., B)."""
+    moved = np.moveaxis(a, 0, -2)
+    return np.ascontiguousarray(
+        moved.reshape(moved.shape[:-2] + (moved.shape[-2] * LANES,)))
+
+
+def pallas_available() -> bool:
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
+
+def run_banded_pallas(batch: BandedBatch, interpret: bool | None = None):
+    """Execute the Pallas score-only kernel; same output dict as
+    banded_jax.run_banded (full=False). Lane count is padded to the
+    1024-lane tile."""
+    assert not batch.full, "pallas kernel is score-only"
+    B = batch.B
+    pad = (-B) % LANES
+
+    def padded(a, fill=0):
+        if pad == 0:
+            return a
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return np.pad(a, widths, constant_values=fill)
+
+    args_2d = dict(
+        peq_lo=padded(batch.peq_lo), peq_hi=padded(batch.peq_hi),
+        lm_lo=padded(batch.lm_lo), lm_hi=padded(batch.lm_hi),
+        text=padded(batch.text), init_scores=padded(batch.init_scores),
+        cutoff=padded(batch.cutoff, 65), prolog=padded(batch.prolog),
+        nbr=padded(batch.nbr, 1), finish_v=padded(batch.finish_v),
+        tfinish=padded(batch.tfinish), first0=padded(batch.first0),
+        last0=padded(batch.last0))
+    tiled = {k: jnp.asarray(_tile_lanes(v)) for k, v in args_2d.items()}
+    out = _pallas_banded(
+        tiled["peq_lo"], tiled["peq_hi"], tiled["lm_lo"], tiled["lm_hi"],
+        tiled["text"], tiled["init_scores"], tiled["cutoff"],
+        tiled["prolog"], tiled["nbr"], tiled["finish_v"],
+        tiled["tfinish"], tiled["first0"], tiled["last0"],
+        EBB=batch.EBB, NB=batch.NB, K=batch.K,
+        interpret=(not pallas_available()) if interpret is None
+        else interpret)
+    names = ("scores_by_k", "pv_lo", "pv_hi", "mv_lo", "mv_hi",
+             "first", "last")
+    res = {}
+    for name, arr in zip(names, out):
+        host = _untile_lanes(np.asarray(arr))
+        res[name] = host[..., :B]
+    return res

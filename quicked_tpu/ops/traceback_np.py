@@ -6,8 +6,9 @@ reference column index c+1) and walks the alignment path with the exact
 reference tie-break order (banded_backtrace_matrix_cutoff,
 bpm_banded.c:967-1036): D, I, M, X.
 
-This is the round-1 implementation; a Pallas lockstep-column traceback
-kernel replaces it on the hot path later.
+The hot path is the native C walk (native/src/quicked_host.c,
+qh_traceback_banded) operating on the batch planes in place; the pure
+numpy walk below is the fallback and the readable specification.
 """
 
 from __future__ import annotations
@@ -15,6 +16,29 @@ from __future__ import annotations
 import numpy as np
 
 W = 64
+
+
+def banded_traceback_batch(mat_pv_lo, mat_pv_hi, mat_mv_lo, mat_mv_hi,
+                           lanes, patterns_raw, texts_raw,
+                           prologs) -> list[str]:
+    """Traceback several lanes of one kernel invocation's (T, EBB, B)
+    planes. patterns_raw/texts_raw: bytes per lane."""
+    from quicked_tpu import native
+
+    if native.available():
+        mats = [np.ascontiguousarray(m) for m in
+                (mat_pv_lo, mat_pv_hi, mat_mv_lo, mat_mv_hi)]
+        return [native.traceback_banded(*mats, lane, pat, txt, int(pro))
+                for lane, pat, txt, pro in zip(lanes, patterns_raw,
+                                               texts_raw, prologs)]
+    return [
+        banded_traceback_pair(
+            mat_pv_lo[:, :, lane], mat_pv_hi[:, :, lane],
+            mat_mv_lo[:, :, lane], mat_mv_hi[:, :, lane],
+            np.frombuffer(pat, dtype=np.uint8),
+            np.frombuffer(txt, dtype=np.uint8), int(pro))
+        for lane, pat, txt, pro in zip(lanes, patterns_raw, texts_raw,
+                                       prologs)]
 
 
 def banded_traceback_pair(mat_pv_lo, mat_pv_hi, mat_mv_lo, mat_mv_hi,

@@ -11,7 +11,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 U32 = jnp.uint32
-ONES = jnp.uint32(0xFFFFFFFF)
+# plain int, not a jnp array: module-level device constants get embedded
+# into every traced jaxpr and force a device sync during lowering
+ONES = 0xFFFFFFFF
 
 
 def ones_like(x):

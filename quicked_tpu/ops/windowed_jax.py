@@ -28,7 +28,7 @@ from quicked_tpu.ops.myers_np import div_ceil
 W = 64
 U32 = jnp.uint32
 I32 = jnp.int32
-TOPBIT_HI = jnp.uint32(0x80000000)
+TOPBIT_HI = 0x80000000  # plain int: avoid a device-array module constant
 
 
 @dataclasses.dataclass
@@ -134,9 +134,15 @@ def _gather_lane(arr, idx):
 
 
 def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
-                       tlen, num_words, hew_cells, *, WS: int, OVL: int):
-    """Score-only windowed driver loop (windowed_compute,
-    bpm_windowed.c:563-628 with SCORE_ONLY). Unjitted — shared by the
+                       tlen, num_words, hew_cells, *, WS: int, OVL: int,
+                       full: bool = False, MAXOPS: int = 0):
+    """Windowed driver loop (windowed_compute, bpm_windowed.c:563-628).
+
+    Score-only mode (full=False) returns (score, hew). Full-CIGAR mode
+    (full=True) emits per-base op codes (1=M, 2=D, 3=I, 4=X) on device,
+    right-to-left into a (MAXOPS, B) buffer (the reference's op_sentinel
+    buffer), and returns (ops_buf, op_n, pos_v, pos_h) — the remaining
+    boundary I/D runs are prepended host-side. Unjitted — shared by the
     single-chip jit wrapper and the shard_map path (parallel/mesh.py)."""
     B = plen.shape[0]
     KP = peq_lo.shape[0]
@@ -145,13 +151,17 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
     zeros_u = jnp.zeros((B,), U32)
     mask_lo = jnp.zeros((B,), U32)
     mask_hi = jnp.full((B,), TOPBIT_HI, U32)
+    lanes = jnp.arange(B, dtype=I32)
 
     def cond(state):
-        pos_v, pos_h, score, hew = state
+        pos_v, pos_h = state[0], state[1]
         return jnp.any((pos_v >= 0) & (pos_h >= 0))
 
     def body(state):
-        pos_v, pos_h, score, hew = state
+        if full:
+            pos_v, pos_h, ops_buf, op_n = state
+        else:
+            pos_v, pos_h, score, hew = state
         active = (pos_v >= 0) & (pos_h >= 0)
         pv_pos = jnp.maximum(pos_v, 0)
         ph_pos = jnp.maximum(pos_h, 0)
@@ -219,13 +229,17 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
         fPv_lo, fPv_hi = flat(PvW_lo), flat(PvW_hi)
         fMv_lo, fMv_hi = flat(MvW_lo), flat(MvW_hi)
 
-        # ---- greedy in-window backtrace, score-only tie-break D,I,M,X
-        # (windowed_backtrace_score_only, bpm_windowed.c:504-561)
+        # ---- greedy in-window backtrace; score-only tie-break D,I,M,X
+        # (windowed_backtrace_score_only, bpm_windowed.c:504-561); full
+        # tie-break M,D,I,X (windowed_backtrace, bpm_windowed.c:448-502)
         v_ovl = jnp.maximum(pv_pos - W * (WS - OVL) + 1, 0)
         h_ovl = jnp.maximum(ph_pos - W * (WS - OVL) + 1, 0)
 
         def bt(carry, _):
-            v, h, sc = carry
+            if full:
+                v, h, ops_buf, op_n = carry
+            else:
+                v, h, sc = carry
             act = active & (v >= v_ovl) & (h >= h_ovl)
             vv = jnp.maximum(v, 0)
             hh = jnp.maximum(h, 0)
@@ -240,27 +254,54 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                             _gather_lane(fMv_hi, idx_m), bit)
             tchar = _gather_lane(text_raw, jnp.minimum(hh, text_raw.shape[0] - 1))
             pchar = _gather_lane(pat_raw, jnp.minimum(vv, pat_raw.shape[0] - 1))
-            is_d = pvb == 1
-            is_i = (~is_d) & (mvb == 1)
-            is_m = (~is_d) & (~is_i) & (tchar == pchar)
-            # D or diagonal moves consume v; I or diagonal moves consume h
-            dec_v = is_d | (~is_d & ~is_i)
-            dec_h = is_i | (~is_d & ~is_i)
-            dsc = jnp.where(is_m, 0, 1)
+            if full:
+                is_m = tchar == pchar
+                is_d = (~is_m) & (pvb == 1)
+                is_i = (~is_m) & (~is_d) & (mvb == 1)
+            else:
+                is_d = pvb == 1
+                is_i = (~is_d) & (mvb == 1)
+                is_m = (~is_d) & (~is_i) & (tchar == pchar)
+            diag = ~is_d & ~is_i
+            dec_v = is_d | diag
+            dec_h = is_i | diag
             v = jnp.where(act, v - dec_v.astype(I32), v)
             h = jnp.where(act, h - dec_h.astype(I32), h)
+            if full:
+                code = jnp.where(is_m, 1,
+                                 jnp.where(is_d, 2, jnp.where(is_i, 3, 4)))
+                slot = jnp.clip(MAXOPS - 1 - op_n, 0, MAXOPS - 1)
+                # inactive lanes write 0 into their next (still unused)
+                # slot — later real writes to that slot win
+                ops_buf = ops_buf.at[slot, lanes].set(
+                    jnp.where(act, code, 0).astype(jnp.int8))
+                op_n = op_n + act.astype(I32)
+                return (v, h, ops_buf, op_n), None
+            dsc = jnp.where(is_m, 0, 1)
             sc = jnp.where(act, sc + dsc, sc)
             return (v, h, sc), None
 
-        (v_f, h_f, sc_f), _ = jax.lax.scan(
-            bt, (pos_v, pos_h, jnp.zeros((B,), I32)), None, length=MAXSTEPS)
-
-        hew = hew + (active & (sc_f > hew_cells)).astype(I32)
-        score = score + jnp.where(active, sc_f, 0)
+        if full:
+            (v_f, h_f, ops_buf, op_n), _ = jax.lax.scan(
+                bt, (pos_v, pos_h, ops_buf, op_n), None, length=MAXSTEPS)
+        else:
+            (v_f, h_f, sc_f), _ = jax.lax.scan(
+                bt, (pos_v, pos_h, jnp.zeros((B,), I32)), None,
+                length=MAXSTEPS)
+            hew = hew + (active & (sc_f > hew_cells)).astype(I32)
+            score = score + jnp.where(active, sc_f, 0)
         pos_v = jnp.where(active, v_f, pos_v)
         pos_h = jnp.where(active, h_f, pos_h)
+        if full:
+            return (pos_v, pos_h, ops_buf, op_n)
         return (pos_v, pos_h, score, hew)
 
+    if full:
+        assert MAXOPS > 0
+        state0 = (plen - 1, tlen - 1,
+                  jnp.zeros((MAXOPS, B), jnp.int8), jnp.zeros((B,), I32))
+        pos_v, pos_h, ops_buf, op_n = jax.lax.while_loop(cond, body, state0)
+        return ops_buf, op_n, pos_v, pos_h
     state0 = (plen - 1, tlen - 1, jnp.zeros((B,), I32), jnp.zeros((B,), I32))
     pos_v, pos_h, score, hew = jax.lax.while_loop(cond, body, state0)
     # Boundary fill (bpm_windowed.c:599-627, score-only accounting).
@@ -269,8 +310,45 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
     return score, hew
 
 
-_windowed_scan = partial(jax.jit, static_argnames=("WS", "OVL"))(
+_windowed_scan = partial(jax.jit,
+                         static_argnames=("WS", "OVL", "full", "MAXOPS"))(
     windowed_scan_impl)
+
+_OP_CHARS = {1: "M", 2: "D", 3: "I", 4: "X"}
+
+
+def run_windowed_full(batch: WindowedBatch, window_size: int,
+                      overlap_size: int) -> list[str]:
+    """Full-CIGAR windowed mode: returns forward-order op strings per
+    pair (windowed_compute CIGAR path, bpm_windowed.c:563-628)."""
+    maxops = 1
+    while maxops < batch.P + batch.T + 2:
+        maxops *= 2
+    dummy = np.zeros(batch.B, dtype=np.int32)
+    ops_buf, op_n, pos_v, pos_h = _windowed_scan(
+        jnp.asarray(batch.peq_lo), jnp.asarray(batch.peq_hi),
+        jnp.asarray(batch.text_enc), jnp.asarray(batch.text_raw),
+        jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),
+        jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
+        jnp.asarray(dummy), WS=window_size, OVL=overlap_size,
+        full=True, MAXOPS=maxops)
+    ops_buf = np.asarray(ops_buf)
+    op_n = np.asarray(op_n)
+    pos_v = np.asarray(pos_v)
+    pos_h = np.asarray(pos_h)
+    out = []
+    lut = np.array([0] + [ord(_OP_CHARS[c]) for c in (1, 2, 3, 4)],
+                   dtype=np.uint8)
+    for b in range(batch.B):
+        n = int(op_n[b])
+        codes = ops_buf[maxops - n:, b].astype(np.int64) if n else \
+            np.empty(0, dtype=np.int64)
+        body = lut[codes].tobytes().decode("ascii")
+        # remaining boundary runs (bpm_windowed.c:599-627), which land at
+        # the front after the reference's final reversal
+        out.append("D" * (int(pos_v[b]) + 1) + "I" * (int(pos_h[b]) + 1)
+                   + body)
+    return out
 
 
 def run_windowed_score(batch: WindowedBatch, hew_threshold: int,

@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", "-v", nargs="?", const=1, type=int,
                    default=0)
     p.add_argument("--quiet", "-q", action="store_true")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="force the JAX platform (default: environment)")
     return p
 
 
@@ -172,6 +174,13 @@ def main(argv=None) -> int:
         print(f"ERROR: input file '{args.input}' not found", file=sys.stderr)
         return 1
 
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from quicked_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
+
     params = _params_from_args(args)
     timers = PhaseTimers()
     timer_global = Timer()
@@ -248,6 +257,11 @@ def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
                                f"{pattern}\t{text}\t{cigar_s}\n")
             else:
                 out_file.write(f"{score_s}\t{cigar_s}\n")
+        if args.check == "display" and not err and cigars[i]:
+            c = Cigar.from_rle(cigars[i])
+            print(f"PATTERN/TEXT lengths {len(pattern)}/{len(text)} "
+                  f"score {int(scores[i])}", file=sys.stderr)
+            print(c.print_pretty(pattern, text), file=sys.stderr)
         if stats is not None and not err:
             _check_pair(args.check, pattern, text, int(scores[i]),
                         cigars[i], stats, args.verbose)

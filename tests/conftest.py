@@ -14,6 +14,24 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import pytest  # noqa: E402
 
+# Persistent XLA compilation cache: the kernels are scan-heavy and cold
+# compiles dominate test wall time; cache them across runs.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+
+
+def pytest_sessionstart(session):
+    import jax
+
+    # The environment's TPU plugin (sitecustomize) hard-sets
+    # jax_platforms="axon,cpu" via jax.config.update, which overrides
+    # JAX_PLATFORMS from the environment — force CPU back the same way
+    # so tests really run on the 8 virtual CPU devices.
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= 8, jax.devices()
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def pytest_addoption(parser):
     parser.addoption("--run-slow", action="store_true", default=False,

@@ -26,6 +26,15 @@ def _raw(s):
     return np.frombuffer(s.encode("ascii"), dtype=np.uint8)
 
 
+def _prep(pats, txts, cutoffs, **kw):
+    """Bucket every test batch to shared pow2 shapes: one XLA compile
+    serves the whole parameter matrix."""
+    kw.setdefault("min_nb", 16)
+    kw.setdefault("min_ebb", 16)
+    kw.setdefault("pad_to_b", 8)
+    return prepare_banded_batch(pats, txts, cutoffs, **kw)
+
+
 @pytest.mark.parametrize("length,error,seed,ldiff,bw", [
     (100, 0.1, 1, 1.0, 40),
     (200, 0.1, 2, 1.0, 40),
@@ -39,7 +48,7 @@ def test_banded_jax_score_parity(length, error, seed, ldiff, bw):
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]
     cutoffs = [max(len(p), len(t)) * bw // 100 for p, t in pairs]
-    batch = prepare_banded_batch(pats, txts, cutoffs, full=False)
+    batch = _prep(pats, txts, cutoffs, full=False)
     out = run_banded(batch)
     scores = extract_final_scores(batch, out["scores_by_k"])
     for i, (p, t) in enumerate(pairs):
@@ -55,7 +64,7 @@ def test_banded_jax_score_final_band_state():
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]
     cutoffs = [max(len(p), len(t)) * 40 // 100 for p, t in pairs]
-    batch = prepare_banded_batch(pats, txts, cutoffs, full=False)
+    batch = _prep(pats, txts, cutoffs, full=False)
     out = run_banded(batch)
     for i, (p, t) in enumerate(pairs):
         model = myers_np.banded_score(
@@ -77,8 +86,7 @@ def test_banded_jax_score_text_finish():
     txts = [t for _, t in pairs]
     cutoffs = [90] * 3
     finishes = [len(t) // 2 for t in txts]
-    batch = prepare_banded_batch(pats, txts, cutoffs, full=False,
-                                 text_finish=finishes)
+    batch = _prep(pats, txts, cutoffs, full=False, text_finish=finishes)
     out = run_banded(batch)
     for i, (p, t) in enumerate(pairs):
         model = myers_np.banded_score(
@@ -102,7 +110,7 @@ def test_banded_jax_full_traceback_parity(length, error, seed, ldiff):
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]
     cutoffs = [max(len(p), len(t)) * 40 // 100 for p, t in pairs]
-    batch = prepare_banded_batch(pats, txts, cutoffs, full=True)
+    batch = _prep(pats, txts, cutoffs, full=True)
     out = run_banded(batch)
     scores = extract_final_scores(batch, out["scores_by_k"])
     for i, (p, t) in enumerate(pairs):
@@ -125,7 +133,7 @@ def test_banded_jax_mixed_length_bucket():
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]
     cutoffs = [max(len(p), len(t)) * 30 // 100 for p, t in pairs]
-    batch = prepare_banded_batch(pats, txts, cutoffs, full=False, pad_to_b=8)
+    batch = _prep(pats, txts, cutoffs, full=False)
     out = run_banded(batch)
     scores = extract_final_scores(batch, out["scores_by_k"])
     for i, (p, t) in enumerate(pairs):

@@ -1,0 +1,70 @@
+"""Native host library (C) vs pure-Python fallback parity."""
+
+import numpy as np
+import pytest
+
+from quicked_tpu import generate, native
+from quicked_tpu.cigar import Cigar
+from quicked_tpu.ops.batch_prep import prepare_banded_batch
+from quicked_tpu.ops.banded_jax import run_banded
+from quicked_tpu.ops.traceback_np import banded_traceback_pair
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C toolchain")
+
+
+def _pairs(n, length, error, seed):
+    return list(generate.generate_pairs(n, length, error=error, seed=seed))
+
+
+def test_native_cigar_roundtrip():
+    ops = "MMMXMMIMMDDMMM" * 37
+    assert native.cigar_score_edit(ops) == sum(1 for o in ops if o != "M")
+    # RLE both ways
+    c = Cigar(operations=ops)
+    py = "".join(f"{n}{o}" for n, o in c._runs())
+    assert native.cigar_sprint(ops, True) == py
+    nm = "".join(f"{n}{o}" for n, o in c._runs() if o != "M")
+    assert native.cigar_sprint(ops, False) == nm
+    # SAM packing collapses M/X
+    sam = native.cigar_sam("MMXXMMII")
+    assert [(int(x) >> 4, int(x) & 0xF) for x in sam] == [(6, 0), (2, 1)]
+
+
+def test_native_cigar_check():
+    for p, t in _pairs(5, 120, 0.1, 3):
+        from quicked_tpu.ops import edit_dp
+        D = edit_dp.edit_dp_matrix(p, t)
+        ops = edit_dp.edit_dp_traceback(D, p, t)
+        assert native.cigar_check(ops, p.encode(), t.encode())
+        # corrupt it
+        bad = ("X" if ops[0] == "M" else "M") + ops[1:]
+        assert not native.cigar_check(bad, p.encode(), t.encode())
+
+
+def test_native_encode_dna():
+    raw = b"ACGTNacgtnZz09"
+    enc = native.encode_dna(raw)
+    from quicked_tpu import dna
+    np.testing.assert_array_equal(enc, dna.encode(raw))
+
+
+def test_native_traceback_matches_python():
+    pairs = _pairs(6, 300, 0.12, 4)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    cutoffs = [max(len(p), len(t)) * 30 // 100 for p, t in pairs]
+    batch = prepare_banded_batch(pats, txts, cutoffs, full=True)
+    out = run_banded(batch)
+    mats = [np.ascontiguousarray(out[k]) for k in
+            ("mat_pv_lo", "mat_pv_hi", "mat_mv_lo", "mat_mv_hi")]
+    for i, (p, t) in enumerate(pairs):
+        c_ops = native.traceback_banded(*mats, i, p.encode(), t.encode(),
+                                        int(batch.prolog[i]))
+        py_ops = banded_traceback_pair(
+            mats[0][:, :, i], mats[1][:, :, i],
+            mats[2][:, :, i], mats[3][:, :, i],
+            np.frombuffer(p.encode(), dtype=np.uint8),
+            np.frombuffer(t.encode(), dtype=np.uint8),
+            int(batch.prolog[i]))
+        assert c_ops == py_ops, i

@@ -14,6 +14,15 @@ def _pairs(n, length, error, seed, length_diff=1.0):
                                         length_diff=length_diff))
 
 
+def _prep(pats, txts, ws):
+    """Shared pow2 shapes: one compile per (ws, ovl) config across the
+    whole parameter matrix."""
+    size = 2048
+    return prepare_windowed_batch(pats, txts, window_size=ws, pad_to_b=8,
+                                  min_t=size, min_p=size,
+                                  min_kp=size // 64 + 1)
+
+
 @pytest.mark.parametrize("ws,ovl,length,error,seed,ldiff", [
     (2, 1, 150, 0.05, 1, 1.0),
     (2, 1, 300, 0.1, 2, 1.0),
@@ -27,7 +36,7 @@ def test_windowed_jax_score_parity(ws, ovl, length, error, seed, ldiff):
     pairs = _pairs(6, length, error, seed, length_diff=ldiff)
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]
-    batch = prepare_windowed_batch(pats, txts, window_size=ws)
+    batch = _prep(pats, txts, ws)
     score, hew = run_windowed_score(batch, 40, ws, ovl)
     for i, (p, t) in enumerate(pairs):
         ms, _, mhew = myers_np.windowed_compute(p, t, 40, ws, ovl,
@@ -41,7 +50,7 @@ def test_windowed_jax_mixed_lengths():
              + _pairs(2, 257, 0.05, 13, 1.3))
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]
-    batch = prepare_windowed_batch(pats, txts, window_size=2, pad_to_b=8)
+    batch = _prep(pats, txts, 2)
     score, hew = run_windowed_score(batch, 40, 2, 1)
     for i, (p, t) in enumerate(pairs):
         ms, _, mhew = myers_np.windowed_compute(p, t, 40, 2, 1,
@@ -50,12 +59,32 @@ def test_windowed_jax_mixed_lengths():
         assert hew[i] == mhew
 
 
+@pytest.mark.parametrize("ws,ovl,length,error,seed,ldiff", [
+    (2, 1, 150, 0.08, 21, 1.0),
+    (2, 1, 300, 0.15, 22, 1.2),
+    (9, 1, 700, 0.1, 23, 1.0),
+    (3, 2, 260, 0.1, 24, 0.8),
+])
+def test_windowed_jax_full_cigar_parity(ws, ovl, length, error, seed, ldiff):
+    from quicked_tpu.ops.windowed_jax import run_windowed_full
+
+    pairs = _pairs(5, length, error, seed, length_diff=ldiff)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    batch = _prep(pats, txts, ws)
+    ops = run_windowed_full(batch, ws, ovl)
+    for i, (p, t) in enumerate(pairs):
+        _, mops, _ = myers_np.windowed_compute(p, t, 0, ws, ovl,
+                                               score_only=False)
+        assert ops[i] == mops, (i, p, t)
+
+
 def test_windowed_jax_short_pairs():
     # Pairs much shorter than one window.
     pairs = _pairs(4, 30, 0.1, 14) + _pairs(2, 64, 0.2, 15)
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]
-    batch = prepare_windowed_batch(pats, txts, window_size=2)
+    batch = _prep(pats, txts, 2)
     score, hew = run_windowed_score(batch, 40, 2, 1)
     for i, (p, t) in enumerate(pairs):
         ms, _, mhew = myers_np.windowed_compute(p, t, 40, 2, 1,
