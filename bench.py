@@ -31,27 +31,29 @@ REPS = 3
 
 def _tpu_rate(pairs):
     import jax
-    import jax.numpy as jnp
+    import numpy as np
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from quicked_tpu.ops.banded_jax import _banded_scan
+    from quicked_tpu.ops.banded_pallas import (collect_outputs,
+                                               pallas_available,
+                                               run_staged, stage_batch)
     from quicked_tpu.ops.batch_prep import prepare_banded_batch
 
     cutoffs = [max(len(p), len(t)) * BANDWIDTH // 100 for p, t in pairs]
     batch = prepare_banded_batch([p for p, _ in pairs],
                                  [t for _, t in pairs], cutoffs, full=False,
                                  pad_to_b=N_PAIRS)
-    args = [jnp.asarray(a) for a in (
-        batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi, batch.text,
-        batch.init_scores, batch.cutoff, batch.prolog, batch.nbr,
-        batch.finish_v, batch.tfinish, batch.first0, batch.last0)]
+    tiled, statics = stage_batch(batch)
+    interpret = not pallas_available()
 
     def run():
-        out = _banded_scan(*args, EBB=batch.EBB, NB=batch.NB, full=False)
-        jax.block_until_ready(out)
+        out = run_staged(tiled, statics, interpret=interpret)
+        # materialize a small output: forces full execution (through the
+        # dev tunnel, block_until_ready alone under-reports)
+        np.asarray(out[5])
         return out
 
     run()  # compile + warmup

@@ -75,12 +75,19 @@ WAVEFRONT_MIN_EBB = 48
 WAVEFRONT_MAX_B = 256
 
 
+PALLAS_MAX_EBB = 128  # VMEM budget bound for the Mosaic kernel
+
+
 def _run_banded_auto(batch):
     """Pick the banded kernel by batch geometry (score-only batches)."""
-    if not batch.full and batch.EBB >= WAVEFRONT_MIN_EBB \
-            and batch.B <= WAVEFRONT_MAX_B:
-        from quicked_tpu.ops.banded_wavefront_jax import run_banded_wavefront
-        return run_banded_wavefront(batch)
+    if not batch.full:
+        if batch.EBB >= WAVEFRONT_MIN_EBB and batch.B <= WAVEFRONT_MAX_B:
+            from quicked_tpu.ops.banded_wavefront_jax import run_banded_wavefront
+            return run_banded_wavefront(batch)
+        from quicked_tpu.ops.banded_pallas import (pallas_available,
+                                                   run_banded_pallas)
+        if pallas_available() and batch.EBB <= PALLAS_MAX_EBB:
+            return run_banded_pallas(batch)
     return run_banded(batch)
 
 

@@ -67,7 +67,12 @@ def generate_pairs(num: int, length: int, error: float = 0.04,
         if indels_num > 0:
             _generate_indels(seqshort, indels_num, indels_length, rng)
         short = "".join(seqshort)
+        # The reference prints ">short/<long" when the nominal pattern is
+        # the shorter sequence, but "<long/>short" otherwise
+        # (generate_dataset.c:399-409) — and align_benchmark takes LINE 1
+        # as the pattern regardless of prefix (align_benchmark.c:88-93),
+        # so for length_diff < 1 the LONG sequence is the pattern.
         if pattern_length <= text_length:
             yield short, seqlong
         else:
-            yield short, seqlong  # shorter is always the pattern
+            yield seqlong, short

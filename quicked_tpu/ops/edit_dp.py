@@ -55,6 +55,45 @@ def edit_dp_matrix(pattern: str, text: str) -> np.ndarray:
     return D
 
 
+INT16_MAX = 32767
+
+
+def edit_dp_matrix_banded(pattern: str, text: str,
+                          bandwidth_k: int) -> np.ndarray:
+    """Banded quadratic DP (edit_dp_align_banded, edit_dp.c:98-133):
+    band of half-width max(|len diff|+1, bandwidth_k) around the
+    diagonal, INT16_MAX sentinels just outside the band."""
+    from quicked_tpu import dna
+
+    p = dna.encode(pattern)
+    t = dna.encode(text)
+    n, m = len(p), len(t)
+    k_end = abs(m - n) + 1
+    ebw = max(k_end, bandwidth_k)
+    D = np.full((n + 1, m + 1), INT16_MAX, dtype=np.int64)
+    D[0, 0] = 0
+    D[1:min(ebw, n) + 1, 0] = np.arange(1, min(ebw, n) + 1)
+    for h in range(1, m + 1):
+        lo_band = h <= ebw
+        lo = 1 if lo_band else h - ebw
+        D[lo - 1, h] = h if lo_band else INT16_MAX
+        hi = min(n, ebw + h - 1)
+        if h > 1:
+            D[hi, h - 1] = INT16_MAX
+        v = np.arange(lo, hi + 1)
+        cost = (p[lo - 1:hi] != t[h - 1]).astype(np.int64)
+        cand = np.minimum(D[lo:hi + 1, h - 1] + 1,        # ins
+                          D[lo - 1:hi, h - 1] + cost)     # sub
+        # del closure down the column (sequential dependency)
+        col = np.empty(hi - lo + 1, dtype=np.int64)
+        prev = D[lo - 1, h]
+        for i in range(hi - lo + 1):
+            prev = min(cand[i], prev + 1)
+            col[i] = prev
+        D[lo:hi + 1, h] = col
+    return D
+
+
 def edit_dp_traceback(D: np.ndarray, pattern: str, text: str) -> str:
     """Traceback following the reference tie-break
     (edit_dp.c:32-67: deletion, then insertion, then match/mismatch)."""

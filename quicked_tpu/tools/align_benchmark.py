@@ -76,14 +76,18 @@ def _params_from_args(args) -> QuickedParams:
         only_score=args.only_score, force_scalar=args.force_scalar)
 
 
-def _align_oracle_batch(pairs, only_score):
+def _align_oracle_batch(pairs, only_score, banded=False, bandwidth=15):
     """Exact-score/CIGAR oracles run through the numpy models
-    (edit-dp / edit-dp-banded / edit-bpm selectable algorithms)."""
+    (edit-dp / edit-dp-banded selectable algorithms; edit_dp.c:68-133)."""
     from quicked_tpu.ops import edit_dp
 
     out = []
     for p, t in pairs:
-        D = edit_dp.edit_dp_matrix(p, t)
+        if banded:
+            bk = max(len(p), len(t)) * bandwidth // 100
+            D = edit_dp.edit_dp_matrix_banded(p, t, bk)
+        else:
+            D = edit_dp.edit_dp_matrix(p, t)
         score = int(D[-1, -1])
         ops = None if only_score else edit_dp.edit_dp_traceback(D, p, t)
         out.append((score, ops))
@@ -225,7 +229,10 @@ def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
     from quicked_tpu.aligner.cascade import quicked_cascade_batch
 
     if args.algorithm in ("edit-dp", "edit-dp-banded"):
-        results = _align_oracle_batch(pairs, args.only_score)
+        results = _align_oracle_batch(
+            pairs, args.only_score,
+            banded=args.algorithm == "edit-dp-banded",
+            bandwidth=args.bandwidth)
         scores = [r[0] for r in results]
         cigars = [None if r[1] is None else Cigar(operations=r[1]).sprint(True)
                   for r in results]

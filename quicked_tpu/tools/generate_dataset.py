@@ -42,12 +42,17 @@ def main(argv=None) -> int:
         print("ERROR: --indels expects NUM,LENGTH", file=sys.stderr)
         return 1
     out = open(args.output, "w") if args.output else sys.stdout
+    # line-1 is always the pattern; the reference marks the shorter
+    # sequence '>' and the longer '<' (generate_dataset.c:399-409)
+    import math
+    flipped = args.length > math.ceil(args.length * args.length_diff)
+    p1, p2 = ("<", ">") if flipped else (">", "<")
     try:
         for pattern, text in generate.generate_pairs(
                 args.num_patterns, args.length, error=args.error,
                 length_diff=args.length_diff, indels_num=indels_num,
                 indels_length=indels_length, seed=args.seed):
-            out.write(f">{pattern}\n<{text}\n")
+            out.write(f"{p1}{pattern}\n{p2}{text}\n")
     finally:
         if out is not sys.stdout:
             out.close()
