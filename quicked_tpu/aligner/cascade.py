@@ -40,6 +40,26 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+# Above this length, the windowed walk has enough sequential window
+# steps (~len/64 while-iterations of narrow ops) that an accelerator's
+# per-iteration overhead dominates — run those buckets on the host CPU
+# backend; the banded DP (wide scans) stays on the accelerator.
+WINDOWED_CPU_MIN_LEN = 8192
+
+
+def _windowed_device(size: int):
+    import jax
+
+    if size < WINDOWED_CPU_MIN_LEN:
+        return None
+    if jax.devices()[0].platform == "cpu":
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def windowed_score_batch(patterns, texts, hew_threshold: int,
                          window_size: int, overlap_size: int,
                          min_lanes: int = 8):
@@ -60,7 +80,8 @@ def windowed_score_batch(patterns, texts, hew_threshold: int,
             pats, txts, window_size=window_size, pad_to_b=b_pad,
             min_t=size, min_p=size, min_kp=size // W + 1)
         sc, hw = run_windowed_score(batch, hew_threshold, window_size,
-                                    overlap_size)
+                                    overlap_size,
+                                    device=_windowed_device(size))
         for j, i in enumerate(idxs):
             scores[i] = sc[j]
             hews[i] = hw[j]
@@ -85,7 +106,8 @@ def windowed_full_batch(patterns, texts, window_size: int,
         batch = prepare_windowed_batch(
             pats, txts, window_size=window_size, pad_to_b=b_pad,
             min_t=size, min_p=size, min_kp=size // W + 1)
-        ops = run_windowed_full(batch, window_size, overlap_size)
+        ops = run_windowed_full(batch, window_size, overlap_size,
+                                device=_windowed_device(size))
         for j, i in enumerate(idxs):
             out[i] = ops[j]
     return out

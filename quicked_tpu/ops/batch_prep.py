@@ -172,5 +172,10 @@ def extract_final_scores(batch: BandedBatch, scores_by_k: np.ndarray) -> np.ndar
     mod = plen % W
     final_block = np.where(mod != 0, plen // W, (plen - 1) // W)
     final_k = (final_block + batch.prolog).astype(np.int64)
+    # Midpoint-stopped lanes (Hirschberg half-passes) may not reach the
+    # pattern's final block row; their "final score" is meaningless and
+    # unread (hirschberg_split consumes the band state instead) — clamp
+    # so the gather stays in range.
+    final_k = np.clip(final_k, 0, scores_by_k.shape[0] - 1)
     vals = np.take_along_axis(np.asarray(scores_by_k), final_k[None, :], axis=0)[0]
     return (vals - np.where(mod != 0, W - mod, 0)).astype(np.int64)

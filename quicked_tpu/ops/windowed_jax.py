@@ -89,7 +89,8 @@ def prepare_windowed_batch(patterns, texts, *, window_size: int,
     T = max(int(tlen.max()), cols)
     if min_t:
         T = max(T, min_t)
-    P = max(int(plen.max()), 1)
+    # at least one window tall: the kernel slices (cols,)-windows
+    P = max(int(plen.max()), cols)
     if min_p:
         P = max(P, min_p)
 
@@ -131,6 +132,28 @@ def _gather_rows(arr, rows, WS, B):
 def _gather_lane(arr, idx):
     """arr (N, B), idx (B,) -> (B,) per-lane gather."""
     return jnp.take_along_axis(arr, idx[None, :], axis=0)[0]
+
+
+def _lane_windows(arr, starts, COLS, B):
+    """Per-lane contiguous windows: arr (T, B), starts (B,) ->
+    (COLS, B) with out[i, b] = arr[starts[b] + i, b].
+
+    Gathers from the full T axis are the windowed kernel's hot cost on
+    long texts (T-proportional per access); extracting the window once
+    per window step makes every subsequent access local. Small lane
+    counts use per-lane dynamic slices (cheap, contiguous); large ones a
+    single batched gather.
+    """
+    # windows are provably in-bounds: start = max(pos - COLS + 1, 0) and
+    # start + COLS - 1 <= max(pos, COLS - 1) < T
+    if B <= 32:
+        cols = []
+        for b in range(B):
+            cols.append(jax.lax.dynamic_slice(arr[:, b],
+                                              (starts[b],), (COLS,)))
+        return jnp.stack(cols, axis=1)
+    idx = starts[None, :] + jnp.arange(COLS, dtype=I32)[:, None]
+    return jnp.take_along_axis(arr, idx, axis=0)
 
 
 def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
@@ -189,6 +212,11 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
         peq_win_lo, peq_win_hi = u64.funnel_shift_right(
             lo_lo, lo_hi, hi_lo, hi_hi, s)
 
+        # ---- per-lane local windows of the sequences ----
+        text_win_enc = _lane_windows(text_enc, h_min, COLS, B)
+        text_win_raw = _lane_windows(text_raw, h_min, COLS, B)
+        pat_win_raw = _lane_windows(pat_raw, v_min, COLS, B)
+
         # ---- window fill (windowed_compute_window, bpm_windowed.c:202-280)
         pv_init = jnp.where((h_min == 0)[None, :],
                             jnp.full((WS, B), 0xFFFFFFFF, U32),
@@ -197,8 +225,7 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
 
         def fill(carry, tp):
             pv_lo, pv_hi, mv_lo, mv_hi = carry
-            tidx = jnp.minimum(h_min + tp, text_enc.shape[0] - 1)
-            c = _gather_lane(text_enc, tidx)
+            c = text_win_enc[tp]
             phin, mhin = ph_first, zeros_u
             npv_lo, npv_hi, nmv_lo, nmv_hi = [], [], [], []
             for i in range(WS):
@@ -252,8 +279,10 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                             _gather_lane(fPv_hi, idx_p), bit)
             mvb = u64.bit64(_gather_lane(fMv_lo, idx_m),
                             _gather_lane(fMv_hi, idx_m), bit)
-            tchar = _gather_lane(text_raw, jnp.minimum(hh, text_raw.shape[0] - 1))
-            pchar = _gather_lane(pat_raw, jnp.minimum(vv, pat_raw.shape[0] - 1))
+            tchar = _gather_lane(text_win_raw,
+                                 jnp.clip(hh - h_min, 0, COLS - 1))
+            pchar = _gather_lane(pat_win_raw,
+                                 jnp.clip(vv - v_min, 0, COLS - 1))
             if full:
                 is_m = tchar == pchar
                 is_d = (~is_m) & (pvb == 1)
@@ -318,20 +347,25 @@ _OP_CHARS = {1: "M", 2: "D", 3: "I", 4: "X"}
 
 
 def run_windowed_full(batch: WindowedBatch, window_size: int,
-                      overlap_size: int) -> list[str]:
+                      overlap_size: int, device=None) -> list[str]:
     """Full-CIGAR windowed mode: returns forward-order op strings per
     pair (windowed_compute CIGAR path, bpm_windowed.c:563-628)."""
+    import contextlib
+
     maxops = 1
     while maxops < batch.P + batch.T + 2:
         maxops *= 2
     dummy = np.zeros(batch.B, dtype=np.int32)
-    ops_buf, op_n, pos_v, pos_h = _windowed_scan(
-        jnp.asarray(batch.peq_lo), jnp.asarray(batch.peq_hi),
-        jnp.asarray(batch.text_enc), jnp.asarray(batch.text_raw),
-        jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),
-        jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
-        jnp.asarray(dummy), WS=window_size, OVL=overlap_size,
-        full=True, MAXOPS=maxops)
+    ctx = jax.default_device(device) if device is not None \
+        else contextlib.nullcontext()
+    with ctx:
+        ops_buf, op_n, pos_v, pos_h = _windowed_scan(
+            jnp.asarray(batch.peq_lo), jnp.asarray(batch.peq_hi),
+            jnp.asarray(batch.text_enc), jnp.asarray(batch.text_raw),
+            jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),
+            jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
+            jnp.asarray(dummy), WS=window_size, OVL=overlap_size,
+            full=True, MAXOPS=maxops)
     ops_buf = np.asarray(ops_buf)
     op_n = np.asarray(op_n)
     pos_v = np.asarray(pos_v)
@@ -352,16 +386,26 @@ def run_windowed_full(batch: WindowedBatch, window_size: int,
 
 
 def run_windowed_score(batch: WindowedBatch, hew_threshold: int,
-                       window_size: int, overlap_size: int):
-    """Execute the score-only windowed kernel; returns (score, hew) numpy."""
+                       window_size: int, overlap_size: int, device=None):
+    """Execute the score-only windowed kernel; returns (score, hew) numpy.
+
+    `device` optionally pins execution (the cascade routes long-read
+    windowed bounds to a CPU device: the window walk is a long sequential
+    loop of narrow ops — accelerator-hostile — while the banded DP stays
+    on the TPU)."""
+    import contextlib
+
     hew_cells = np.full(
         batch.B,
         (window_size - overlap_size) * W * hew_threshold // 100,
         dtype=np.int32)
-    score, hew = _windowed_scan(
-        jnp.asarray(batch.peq_lo), jnp.asarray(batch.peq_hi),
-        jnp.asarray(batch.text_enc), jnp.asarray(batch.text_raw),
-        jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),
-        jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
-        jnp.asarray(hew_cells), WS=window_size, OVL=overlap_size)
+    ctx = jax.default_device(device) if device is not None \
+        else contextlib.nullcontext()
+    with ctx:
+        score, hew = _windowed_scan(
+            jnp.asarray(batch.peq_lo), jnp.asarray(batch.peq_hi),
+            jnp.asarray(batch.text_enc), jnp.asarray(batch.text_raw),
+            jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),
+            jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
+            jnp.asarray(hew_cells), WS=window_size, OVL=overlap_size)
     return np.asarray(score), np.asarray(hew)

@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", "-q", action="store_true")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                    help="force the JAX platform (default: environment)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR")
     return p
 
 
@@ -198,6 +200,13 @@ def main(argv=None) -> int:
     stats = CheckStats() if args.check in ("correct", "score",
                                            "alignment") else None
 
+    profiler = None
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+        profiler = jax
+
     n_processed = 0
     timer_global.start()
     try:
@@ -215,6 +224,8 @@ def main(argv=None) -> int:
                                       n_processed, timer_global)
     finally:
         timer_global.stop()
+        if profiler is not None:
+            profiler.profiler.stop_trace()
         if out_file:
             out_file.close()
 
