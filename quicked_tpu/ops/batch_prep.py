@@ -35,6 +35,31 @@ def _pack_peq_words(enc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+_BIT_W = (np.uint32(1) << np.arange(32, dtype=np.uint32))
+
+
+def pack_peq_batch(enc_list, num_words: int):
+    """Vectorised batch PEQ packing: list of encoded patterns ->
+    (lo, hi) of shape (num_words, 5, B) uint32, tails padded to ones.
+
+    The per-pair Python loop is the host-prep bottleneck at production
+    batch sizes; this packs the whole batch in a handful of numpy ops.
+    """
+    B = len(enc_list)
+    L = num_words * W
+    mat = np.full((B, L), 5, dtype=np.uint8)   # 5 = beyond-tail marker
+    for b, e in enumerate(enc_list):
+        mat[b, :len(e)] = e
+    # one-hot over the 5-letter alphabet; tail rows match everything
+    oh = mat[None, :, :] == np.arange(5, dtype=np.uint8)[:, None, None]
+    oh |= (mat == 5)[None, :, :]               # (5, B, L)
+    packed = np.packbits(oh, axis=-1, bitorder="little")  # (5, B, L/8) u8
+    words = packed.view("<u4").reshape(5, B, num_words, 2)
+    # (5, B, num_words) -> (num_words, 5, B)
+    return (np.ascontiguousarray(words[..., 0].transpose(2, 0, 1)),
+            np.ascontiguousarray(words[..., 1].transpose(2, 0, 1)))
+
+
 @dataclasses.dataclass
 class BandedBatch:
     """Fixed-shape arrays for one kernel invocation (one bucket)."""
@@ -107,34 +132,46 @@ def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,
         NB = max(NB, min_nb)
     K = NB + EBB
 
-    peq_lo = np.zeros((K, 5, B), dtype=np.uint32)
-    peq_hi = np.zeros((K, 5, B), dtype=np.uint32)
-    lm_lo = np.zeros((K, B), dtype=np.uint32)
-    lm_hi = np.zeros((K, B), dtype=np.uint32)
-    text = np.zeros((NB * W, B), dtype=np.int32)
+    # ---- PEQ + level masks, vectorised across the batch ----
+    # (the per-pair packing loop is the host-prep bottleneck at
+    # production batch sizes)
+    max_nw = max(max(div_ceil(int(L), W), 1) for L in plen) if n else 1
+    K_ext = K + max_nw + 1
+    peq_lo = np.full((K_ext, 5, B), 0xFFFFFFFF, dtype=np.uint32)
+    peq_hi = np.full((K_ext, 5, B), 0xFFFFFFFF, dtype=np.uint32)
+    packed_lo, packed_hi = pack_peq_batch(enc_p, max_nw)  # (max_nw, 5, n)
+    rows = prolog[:n][None, :] + np.arange(max_nw, dtype=np.int64)[:, None]
+    idx = np.broadcast_to(rows[:, None, :], (max_nw, 5, n))
+    np.put_along_axis(peq_lo[:, :, :n], idx, packed_lo, axis=0)
+    np.put_along_axis(peq_hi[:, :, :n], idx, packed_hi, axis=0)
+    peq_lo = np.ascontiguousarray(peq_lo[:K])
+    peq_hi = np.ascontiguousarray(peq_hi[:K])
 
+    # level masks (bpm_banded.c:88-102): top bit everywhere except the
+    # final pattern block when the length is not a multiple of 64
+    lm_lo = np.zeros((K_ext, B), dtype=np.uint32)
+    lm_hi = np.full((K_ext, B), TOPBIT_HI, dtype=np.uint32)
+    nw_arr = np.maximum((plen.astype(np.int64) + W - 1) // W, 1)
+    mod = plen.astype(np.int64) % W
+    top = prolog[:n].astype(np.int64) + nw_arr - 1
+    sel = np.nonzero(mod > 0)[0]
+    if len(sel):
+        m = mod[sel]
+        lo_val = np.where(m <= 32,
+                          np.left_shift(np.uint64(1),
+                                        np.clip(m - 1, 0, 31).astype(np.uint64)),
+                          0).astype(np.uint32)
+        hi_val = np.where(m > 32,
+                          np.left_shift(np.uint64(1),
+                                        np.clip(m - 33, 0, 31).astype(np.uint64)),
+                          0).astype(np.uint32)
+        lm_lo[top[sel], sel] = lo_val
+        lm_hi[top[sel], sel] = hi_val
+    lm_lo = np.ascontiguousarray(lm_lo[:K])
+    lm_hi = np.ascontiguousarray(lm_hi[:K])
+
+    text = np.zeros((NB * W, B), dtype=np.int32)
     for b in range(n):
-        lo, hi = _pack_peq_words(enc_p[b])
-        nw = lo.shape[0]
-        pr = int(prolog[b])
-        end = min(pr + nw, K)
-        peq_lo[pr:end, :, b] = lo[: end - pr]
-        peq_hi[pr:end, :, b] = hi[: end - pr]
-        # padding rows (outside the pattern) match everything
-        peq_lo[:pr, :, b] = 0xFFFFFFFF
-        peq_hi[:pr, :, b] = 0xFFFFFFFF
-        peq_lo[end:, :, b] = 0xFFFFFFFF
-        peq_hi[end:, :, b] = 0xFFFFFFFF
-        # level masks (bpm_banded.c:88-102): top bit everywhere except the
-        # final pattern block when the length is not a multiple of 64.
-        lm_hi[:, b] = TOPBIT_HI
-        mod = int(plen[b]) % W
-        if mod > 0:
-            top = pr + nw - 1
-            if top < K:
-                lm_lo[top, b] = np.uint32(1 << (mod - 1)) if mod <= 32 else 0
-                lm_hi[top, b] = np.uint32(1 << (mod - 1 - 32)) if mod > 32 \
-                    else 0
         tl = int(text_finish[b])
         text[:tl, b] = enc_t[b][:tl].astype(np.int32)
 

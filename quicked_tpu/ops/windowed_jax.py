@@ -49,19 +49,6 @@ class WindowedBatch:
     num_words: np.ndarray
 
 
-def _pack_peq_words_np(enc: np.ndarray):
-    n = len(enc)
-    num_words = max(div_ceil(n, W), 1)
-    bits = np.zeros((num_words * W, 5), dtype=bool)
-    bits[np.arange(n), enc] = True
-    bits[n:, :] = True
-    bits = bits.reshape(num_words, 2, 32, 5)
-    weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))[None, :, None]
-    lo = (bits[:, 0].astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
-    hi = (bits[:, 1].astype(np.uint64) * weights).sum(axis=1).astype(np.uint32)
-    return lo, hi, num_words
-
-
 def _raw_i32(s, enc) -> np.ndarray:
     if isinstance(s, np.ndarray):
         return np.asarray(enc, dtype=np.int32)
@@ -94,6 +81,8 @@ def prepare_windowed_batch(patterns, texts, *, window_size: int,
     if min_p:
         P = max(P, min_p)
 
+    from quicked_tpu.ops.batch_prep import pack_peq_batch
+
     peq_lo = np.zeros((KP, 5, B), dtype=np.uint32)
     peq_hi = np.zeros((KP, 5, B), dtype=np.uint32)
     text_enc = np.zeros((T, B), dtype=np.int32)
@@ -101,11 +90,13 @@ def prepare_windowed_batch(patterns, texts, *, window_size: int,
     pat_raw = np.full((P, B), -2, dtype=np.int32)
     num_words = np.ones(B, dtype=np.int32)
 
+    if n:
+        max_nw = max(max(div_ceil(int(L), W), 1) for L in plen)
+        lo, hi = pack_peq_batch(enc_p, max_nw)   # (max_nw, 5, n)
+        peq_lo[:max_nw, :, :n] = lo
+        peq_hi[:max_nw, :, :n] = hi
+        num_words[:n] = np.maximum((plen.astype(np.int64) + W - 1) // W, 1)
     for b in range(n):
-        lo, hi, nw = _pack_peq_words_np(enc_p[b])
-        peq_lo[:nw, :, b] = lo
-        peq_hi[:nw, :, b] = hi
-        num_words[b] = nw
         tl = int(tlen[b])
         text_enc[:tl, b] = enc_t[b].astype(np.int32)
         text_raw[:tl, b] = _raw_i32(texts[b], enc_t[b])
