@@ -173,18 +173,22 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
             pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
         out = _run_banded_auto(batch)
         final_scores = extract_final_scores(batch, out["scores_by_k"])
+        # vectorised 64-bit reassembly + one tolist() per plane: the
+        # per-element int() loop was the Hirschberg driver's per-level
+        # host overhead
+        pv64 = (out["pv_lo"].astype(np.uint64)
+                | (out["pv_hi"].astype(np.uint64) << np.uint64(32))).T.tolist()
+        mv64 = (out["mv_lo"].astype(np.uint64)
+                | (out["mv_hi"].astype(np.uint64) << np.uint64(32))).T.tolist()
+        sck = out["scores_by_k"].T.tolist()
+        n_rows = out["scores_by_k"].shape[0]
         for j, i in enumerate(idxs):
             prolog = int(batch.prolog[j])
-            pv = [int(out["pv_lo"][k, j]) | (int(out["pv_hi"][k, j]) << 32)
-                  for k in range(batch.EBB)]
-            mv = [int(out["mv_lo"][k, j]) | (int(out["mv_hi"][k, j]) << 32)
-                  for k in range(batch.EBB)]
-            sc = {k - prolog: int(out["scores_by_k"][k, j])
-                  for k in range(out["scores_by_k"].shape[0])}
+            sc = dict(zip(range(-prolog, n_rows - prolog), sck[j]))
             geo = myers_np.band_geometry(plens[i], tlens[i], int(cutoffs[i]))
             results[i] = myers_np.BandedScoreResult(
-                score=int(final_scores[j]), Pv=pv, Mv=mv, scores=sc,
-                lower_block=int(out["first"][j]),
+                score=int(final_scores[j]), Pv=pv64[j], Mv=mv64[j],
+                scores=sc, lower_block=int(out["first"][j]),
                 higher_block=int(out["last"][j]), geometry=geo)
     return results
 

@@ -80,27 +80,38 @@ def distributed_align(input_path: str, output_path: str,
                 flush()
         flush()
 
-    _barrier(process_index, process_count)
+    # completion marker for the shard-file barrier
+    open(shard_path + ".done", "w").close()
     if process_index == 0:
+        _wait_for_shards(output_path, process_count)
         _merge_shards(output_path, process_count)
     return n_local
 
 
-def _barrier(process_index: int, process_count: int) -> None:
-    if process_count == 1:
-        return
-    import jax
-    import jax.numpy as jnp
+def _wait_for_shards(output_path: str, process_count: int,
+                     timeout_s: float = 3600.0) -> None:
+    """File-based barrier on the shared filesystem: the coordinator
+    merges only after every process has marked its shard complete."""
+    import time
 
-    # all-process sync: a tiny global collective
-    x = jnp.ones((jax.local_device_count(),))
-    jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(x).block_until_ready()
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        done = glob.glob(f"{output_path}.shard*.done")
+        if len(done) >= process_count:
+            return
+        time.sleep(0.5)
+    raise TimeoutError(
+        f"distributed merge: only {len(glob.glob(f'{output_path}.shard*.done'))}"
+        f"/{process_count} shards completed within {timeout_s}s")
 
 
 def _merge_shards(output_path: str, process_count: int) -> None:
     """Input-ordered merge of per-process shard files (k-way by id)."""
     rows = []
     for shard in sorted(glob.glob(f"{output_path}.shard*")):
+        if shard.endswith(".done"):
+            os.remove(shard)
+            continue
         with open(shard) as f:
             for line in f:
                 gid, rest = line.split("\t", 1)
