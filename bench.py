@@ -46,15 +46,33 @@ def _tpu_rate(pairs):
     batch = prepare_banded_batch([p for p, _ in pairs],
                                  [t for _, t in pairs], cutoffs, full=False,
                                  pad_to_b=N_PAIRS)
-    tiled, statics = stage_batch(batch)
-    interpret = not pallas_available()
+    if pallas_available():
+        tiled, statics = stage_batch(batch)
 
-    def run():
-        out = run_staged(tiled, statics, interpret=interpret)
-        # materialize a small output: forces full execution (through the
-        # dev tunnel, block_until_ready alone under-reports)
-        np.asarray(out[5])
-        return out
+        def run():
+            out = run_staged(tiled, statics, interpret=False)
+            # materialize a small output: forces full execution (through
+            # the dev tunnel, block_until_ready alone under-reports)
+            np.asarray(out[5])
+            return out
+    else:
+        # CPU fallback: the XLA scan kernel (Pallas interpret mode is a
+        # debugging path, not a benchmark path)
+        import jax.numpy as jnp
+
+        from quicked_tpu.ops.banded_jax import _banded_scan
+
+        args = [jnp.asarray(a) for a in (
+            batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi,
+            batch.text, batch.init_scores, batch.cutoff, batch.prolog,
+            batch.nbr, batch.finish_v, batch.tfinish, batch.first0,
+            batch.last0)]
+
+        def run():
+            out = _banded_scan(*args, EBB=batch.EBB, NB=batch.NB,
+                               full=False)
+            np.asarray(out["first"])
+            return out
 
     run()  # compile + warmup
     best = float("inf")
@@ -92,8 +110,32 @@ def _cpu_rate(pairs):
     return bases / dt
 
 
+def _device_healthy(timeout_s: float = 90.0) -> bool:
+    """Probe the accelerator with a trivial computation under a timeout —
+    this environment's TPU tunnel can wedge; fall back to CPU then."""
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "np.asarray(jax.jit(lambda a: (a * 2).sum())(jnp.arange(128)));"
+            "print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from quicked_tpu import generate
+
+    platform = None
+    if not _device_healthy():
+        print("accelerator probe timed out; benching on CPU backend",
+              file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu"
 
     pairs = list(generate.generate_pairs(N_PAIRS, LENGTH, error=ERROR,
                                          seed=7))
@@ -104,12 +146,15 @@ def main():
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         cpu = None
     vs = (tpu / cpu) if cpu else 0.0
-    print(json.dumps({
+    out = {
         "metric": "banded_score_bases_per_s",
         "value": round(tpu, 1),
         "unit": "bases/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if platform:
+        out["platform_fallback"] = platform
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
