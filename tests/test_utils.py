@@ -1,0 +1,97 @@
+"""Unit tests: profiler timers/counters, heatmap, bitmap, u64 helpers."""
+
+import io
+import time
+
+import numpy as np
+
+from quicked_tpu.utils.bitmap import Bitmap
+from quicked_tpu.utils.heatmap import HEATMAP_MAX, HEATMAP_MIN, Heatmap
+from quicked_tpu.utils.profiler import Counter, Timer
+
+
+def test_counter_welford():
+    c = Counter()
+    data = [4, 7, 13, 16]
+    for x in data:
+        c.add(x)
+    assert c.total == sum(data)
+    assert c.samples == 4
+    assert c.min == 4 and c.max == 16
+    assert abs(c.mean() - np.mean(data)) < 1e-9
+    assert abs(c.variance() - np.var(data, ddof=1)) < 1e-9
+
+
+def test_timer_pause_resume():
+    t = Timer()
+    t.start()
+    time.sleep(0.01)
+    t.pause()
+    paused_at = t.total_ns()
+    time.sleep(0.02)
+    assert t.total_ns() == paused_at  # no accumulation while paused
+    t.resume()
+    time.sleep(0.01)
+    t.stop()
+    assert t.count.total >= 15_000_000  # ~20ms active
+    buf = io.StringIO()
+    t.print(buf)
+    assert "ms" in buf.getvalue()
+
+
+def test_heatmap_modes():
+    hm = Heatmap(4, 4, 0, 100, 0, 100, mode=HEATMAP_MAX)
+    hm.set(10, 10, 5)
+    hm.set(12, 12, 9)      # same bin, larger
+    assert hm.values[0, 0] == 9
+    hm2 = Heatmap(4, 4, 0, 100, 0, 100, mode=HEATMAP_MIN)
+    hm2.set(10, 10, 5)
+    hm2.set(12, 12, 9)
+    assert hm2.values[0, 0] == 5
+    buf = io.StringIO()
+    hm.print(buf)
+    assert len(buf.getvalue().splitlines()) == 4
+
+
+def test_bitmap_rank():
+    bm = Bitmap(300)
+    positions = [0, 1, 63, 64, 130, 299]
+    for p in positions:
+        bm.set_bit(p)
+    for p in positions:
+        assert bm.is_set(p)
+    assert not bm.is_set(2)
+    bm.update_counters()
+    assert bm.erank(0) == 0
+    assert bm.erank(2) == 2
+    assert bm.erank(64) == 3
+    assert bm.erank(300 - 1) == 5
+
+
+def test_u64_shifts():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from quicked_tpu.ops import u64
+
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1 << 64, size=64, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.int32)
+    lo = jnp.asarray((vals & 0xFFFFFFFF).astype(np.uint32))
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+    s = jnp.asarray(shifts)
+    rlo, rhi = u64.shr64(lo, hi, s)
+    llo, lhi = u64.shl64(lo, hi, s)
+    for i in range(64):
+        v = int(vals[i])
+        got_r = int(rlo[i]) | (int(rhi[i]) << 32)
+        got_l = int(llo[i]) | (int(lhi[i]) << 32)
+        assert got_r == v >> i, i
+        assert got_l == (v << i) & ((1 << 64) - 1), i
+    # bit extraction
+    idx = jnp.asarray(shifts)
+    bits = u64.bit64(lo, hi, idx)
+    for i in range(64):
+        assert int(bits[i]) == (int(vals[i]) >> i) & 1
