@@ -70,6 +70,11 @@ def _load():
                                         ctypes.c_int, ctypes.c_char_p]
         lib.qh_cigar_sam.restype = _i64
         lib.qh_cigar_sam.argtypes = [ctypes.c_char_p, _i64, _u32p]
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.qh_read_seq_batch.restype = _i64
+        lib.qh_read_seq_batch.argtypes = [
+            ctypes.c_char_p, _i64, _i64, ctypes.c_char_p, _i64,
+            _i64p, _i64p, _i64p]
         _lib = lib
         return _lib
 
@@ -131,6 +136,29 @@ def cigar_sam(ops: str) -> np.ndarray:
     out = np.empty(max(len(b), 1), dtype=np.uint32)
     n = lib.qh_cigar_sam(b, len(b), _u32arr(out))
     return out[:n].copy()
+
+
+def read_seq_batch(data: bytes, max_pairs: int):
+    """Parse up to max_pairs 2-line .seq records from `data`.
+    Returns (pairs list of (pattern, text) str, consumed bytes)."""
+    lib = _load()
+    out = ctypes.create_string_buffer(len(data) + 2)
+    offsets = np.empty(2 * max_pairs, dtype=np.int64)
+    lengths = np.empty(2 * max_pairs, dtype=np.int64)
+    consumed = ctypes.c_int64(0)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.qh_read_seq_batch(
+        data, len(data), max_pairs, out, len(data) + 2,
+        offsets.ctypes.data_as(i64p), lengths.ctypes.data_as(i64p),
+        ctypes.byref(consumed))
+    raw = out.raw
+    pairs = []
+    for i in range(n):
+        po, pl = int(offsets[2 * i]), int(lengths[2 * i])
+        to, tl = int(offsets[2 * i + 1]), int(lengths[2 * i + 1])
+        pairs.append((raw[po:po + pl].decode("ascii"),
+                      raw[to:to + tl].decode("ascii")))
+    return pairs, int(consumed.value)
 
 
 def encode_dna(raw: bytes) -> np.ndarray:

@@ -201,6 +201,43 @@ int64_t qh_cigar_sam(const char *ops, int64_t n, uint32_t *out) {
     return w;
 }
 
+/* ------------------------------------------------------ sequence IO */
+
+/*
+ * Batch .seq reader (sequence_buffer semantics, sequence_buffer.c:90-127
+ * + align_benchmark_read_input, align_benchmark.c:73-99): parse up to
+ * `max_pairs` two-line records from `data[0..len)`, stripping the first
+ * character of each line. Sequences are appended to `out` with
+ * NUL-padding between them; offsets/lengths per line are recorded.
+ * Returns the number of PAIRS parsed; *consumed is the byte offset of
+ * the first unparsed record (callers stream chunks).
+ */
+int64_t qh_read_seq_batch(const char *data, int64_t len, int64_t max_pairs,
+                          char *out, int64_t out_cap,
+                          int64_t *offsets, int64_t *lengths,
+                          int64_t *consumed) {
+    int64_t pos = 0, w = 0, n_lines = 0;
+    int64_t last_complete = 0;
+    while (n_lines / 2 < max_pairs) {
+        if (pos >= len) break;
+        const char *nl = memchr(data + pos, '\n', (size_t)(len - pos));
+        if (!nl) break;                    /* incomplete record tail */
+        int64_t line_len = (int64_t)(nl - (data + pos));
+        int64_t seq_len = line_len > 0 ? line_len - 1 : 0;
+        if (w + seq_len + 1 > out_cap) break;
+        memcpy(out + w, data + pos + 1, (size_t)seq_len);
+        out[w + seq_len] = '\0';
+        offsets[n_lines] = w;
+        lengths[n_lines] = seq_len;
+        w += seq_len + 1;
+        pos = (int64_t)(nl - data) + 1;
+        n_lines++;
+        if (n_lines % 2 == 0) last_complete = pos;
+    }
+    *consumed = last_complete;
+    return n_lines / 2;
+}
+
 /* ------------------------------------------------- windowed traceback */
 
 /*

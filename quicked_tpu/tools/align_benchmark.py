@@ -210,15 +210,8 @@ def main(argv=None) -> int:
     n_processed = 0
     timer_global.start()
     try:
-        batch_pairs = []
-        for pair in seqio.read_seq_pairs(args.input):
-            batch_pairs.append(pair)
-            if len(batch_pairs) >= args.batch_size:
-                n_processed += _run_batch(args, params, timers, batch_pairs,
-                                          out_file, output_full, stats,
-                                          n_processed, timer_global)
-                batch_pairs = []
-        if batch_pairs:
+        for batch_pairs in seqio.read_seq_batches(args.input,
+                                                  args.batch_size):
             n_processed += _run_batch(args, params, timers, batch_pairs,
                                       out_file, output_full, stats,
                                       n_processed, timer_global)

@@ -1,5 +1,7 @@
 """Native host library (C) vs pure-Python fallback parity."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -68,3 +70,24 @@ def test_native_traceback_matches_python():
             np.frombuffer(t.encode(), dtype=np.uint8),
             int(batch.prolog[i]))
         assert c_ops == py_ops, i
+
+
+def test_native_seq_reader():
+    import tempfile
+
+    from quicked_tpu import generate, seqio
+
+    pairs = list(generate.generate_pairs(257, 90, error=0.1, seed=6))
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "x.seq")
+        seqio.write_seq_pairs(path, pairs)
+        # native batch reader vs python reader, several batch sizes
+        for bs in (7, 100, 1000):
+            got = [p for batch in seqio.read_seq_batches(path, bs)
+                   for p in batch]
+            assert got == pairs, bs
+        # small chunk size exercises the tail-carry path
+        got = [p for batch in seqio.read_seq_batches(path, 50,
+                                                     chunk_bytes=256)
+               for p in batch]
+        assert got == pairs
