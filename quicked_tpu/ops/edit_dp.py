@@ -11,12 +11,25 @@ from __future__ import annotations
 import numpy as np
 
 
-def edit_distance(pattern: str | np.ndarray, text: str | np.ndarray) -> int:
-    """Exact Levenshtein distance, O(n*m) time, O(m) memory."""
+def _chars(seq, encoded: bool) -> np.ndarray:
+    """Comparison alphabet: the reference's edit_dp compares RAW bytes
+    (edit_dp.c:59 on char*, case-sensitive), unlike the quicked
+    algorithms' 5-letter encoding; encoded=True selects the encoded view
+    (used when oracle-checking the case-insensitive algorithms)."""
     from quicked_tpu import dna
 
-    p = dna.encode(pattern) if not isinstance(pattern, np.ndarray) else pattern
-    t = dna.encode(text) if not isinstance(text, np.ndarray) else text
+    if isinstance(seq, np.ndarray):
+        return seq
+    if encoded:
+        return dna.encode(seq)
+    return np.frombuffer(seq.encode("ascii", "replace"), dtype=np.uint8)
+
+
+def edit_distance(pattern: str | np.ndarray, text: str | np.ndarray,
+                  encoded: bool = True) -> int:
+    """Exact Levenshtein distance, O(n*m) time, O(m) memory."""
+    p = _chars(pattern, encoded)
+    t = _chars(text, encoded)
     n, m = len(p), len(t)
     # Row DP over pattern positions; D[j] = distance(p[:i], t[:j]).
     row = np.arange(m + 1, dtype=np.int64)
@@ -35,12 +48,12 @@ def edit_distance(pattern: str | np.ndarray, text: str | np.ndarray) -> int:
     return int(row[m])
 
 
-def edit_dp_matrix(pattern: str, text: str) -> np.ndarray:
-    """Full DP matrix (rows = pattern+1, cols = text+1)."""
-    from quicked_tpu import dna
-
-    p = dna.encode(pattern)
-    t = dna.encode(text)
+def edit_dp_matrix(pattern: str, text: str,
+                   encoded: bool = False) -> np.ndarray:
+    """Full DP matrix (rows = pattern+1, cols = text+1). Raw-byte
+    comparisons by default (edit_dp.c parity)."""
+    p = _chars(pattern, encoded)
+    t = _chars(text, encoded)
     n, m = len(p), len(t)
     D = np.zeros((n + 1, m + 1), dtype=np.int64)
     D[0, :] = np.arange(m + 1)
@@ -58,15 +71,13 @@ def edit_dp_matrix(pattern: str, text: str) -> np.ndarray:
 INT16_MAX = 32767
 
 
-def edit_dp_matrix_banded(pattern: str, text: str,
-                          bandwidth_k: int) -> np.ndarray:
+def edit_dp_matrix_banded(pattern: str, text: str, bandwidth_k: int,
+                          encoded: bool = False) -> np.ndarray:
     """Banded quadratic DP (edit_dp_align_banded, edit_dp.c:98-133):
     band of half-width max(|len diff|+1, bandwidth_k) around the
     diagonal, INT16_MAX sentinels just outside the band."""
-    from quicked_tpu import dna
-
-    p = dna.encode(pattern)
-    t = dna.encode(text)
+    p = _chars(pattern, encoded)
+    t = _chars(text, encoded)
     n, m = len(p), len(t)
     k_end = abs(m - n) + 1
     ebw = max(k_end, bandwidth_k)

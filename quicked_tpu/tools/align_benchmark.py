@@ -243,7 +243,10 @@ def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
         statuses = [0] * len(pairs)
     elif args.algorithm == "edit-bpm":
         results = _align_bpm_batch(pairs, args.only_score)
-        scores = [r[0] for r in results]
+        # score comes from the CIGAR (benchmark_print_output semantics):
+        # the raw-char traceback can emit X where the encoded DP matched
+        scores = [r[0] if r[1] is None else Cigar(operations=r[1]).score_edit()
+                  for r in results]
         cigars = [None if r[1] is None else Cigar(operations=r[1]).sprint(True)
                   for r in results]
         statuses = [0] * len(pairs)
