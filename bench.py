@@ -56,23 +56,29 @@ def _tpu_rate(pairs):
             np.asarray(out[5])
             return out
     else:
-        # CPU fallback: the XLA scan kernel (Pallas interpret mode is a
-        # debugging path, not a benchmark path)
-        import jax.numpy as jnp
+        # CPU fallback: the native C kernel (ops/banded_native.py)
+        from quicked_tpu.ops.banded_native import (native_available,
+                                                   run_banded_native)
 
-        from quicked_tpu.ops.banded_jax import _banded_scan
+        if native_available():
+            def run():
+                return run_banded_native(batch)
+        else:
+            import jax.numpy as jnp
 
-        args = [jnp.asarray(a) for a in (
-            batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi,
-            batch.text, batch.init_scores, batch.cutoff, batch.prolog,
-            batch.nbr, batch.finish_v, batch.tfinish, batch.first0,
-            batch.last0)]
+            from quicked_tpu.ops.banded_jax import _banded_scan
 
-        def run():
-            out = _banded_scan(*args, EBB=batch.EBB, NB=batch.NB,
-                               full=False)
-            np.asarray(out["first"])
-            return out
+            args = [jnp.asarray(a) for a in (
+                batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi,
+                batch.text, batch.init_scores, batch.cutoff, batch.prolog,
+                batch.nbr, batch.finish_v, batch.tfinish, batch.first0,
+                batch.last0)]
+
+            def run():
+                out = _banded_scan(*args, EBB=batch.EBB, NB=batch.NB,
+                                   full=False)
+                np.asarray(out["first"])
+                return out
 
     run()  # compile + warmup
     best = float("inf")

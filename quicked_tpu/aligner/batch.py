@@ -81,12 +81,22 @@ PALLAS_MAX_EBB = 128  # VMEM budget bound for the Mosaic kernel
 def _run_banded_auto(batch):
     """Pick the banded kernel by batch geometry (score-only batches)."""
     if not batch.full:
+        import jax
+
+        platform = jax.devices()[0].platform
+        if platform == "cpu":
+            # no accelerator: the per-pair C kernel beats the XLA-CPU
+            # scan by ~an order of magnitude
+            from quicked_tpu.ops.banded_native import (native_available,
+                                                       run_banded_native)
+            if native_available() and batch.enc_patterns is not None:
+                return run_banded_native(batch)
         if batch.EBB >= WAVEFRONT_MIN_EBB and batch.B <= WAVEFRONT_MAX_B:
             from quicked_tpu.ops.banded_wavefront_jax import run_banded_wavefront
             return run_banded_wavefront(batch)
         from quicked_tpu.ops.banded_pallas import (pallas_available,
                                                    run_banded_pallas)
-        if pallas_available() and batch.EBB <= PALLAS_MAX_EBB:
+        if platform == "tpu" and batch.EBB <= PALLAS_MAX_EBB:
             return run_banded_pallas(batch)
     return run_banded(batch)
 

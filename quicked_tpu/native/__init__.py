@@ -75,6 +75,11 @@ def _load():
         lib.qh_read_seq_batch.argtypes = [
             ctypes.c_char_p, _i64, _i64, ctypes.c_char_p, _i64,
             _i64p, _i64p, _i64p]
+        _u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.qh_banded_score.restype = _i64
+        lib.qh_banded_score.argtypes = [
+            _u8p, _i64, _u8p, _i64, _i64, _i64,
+            _u64p, _u64p, _i64p, _i64p, _i64p, _i64p]
         _lib = lib
         return _lib
 
@@ -136,6 +141,49 @@ def cigar_sam(ops: str) -> np.ndarray:
     out = np.empty(max(len(b), 1), dtype=np.uint32)
     n = lib.qh_cigar_sam(b, len(b), _u32arr(out))
     return out[:n].copy()
+
+
+def banded_score(pattern_enc: np.ndarray, text_enc: np.ndarray,
+                 cutoff_score: int, text_len: int, text_finish: int,
+                 want_state: bool = False):
+    """Host-native BandEd score-only (CPU compute path). Returns the
+    score, or with want_state a dict mirroring the device kernels'
+    output for one lane (pv/mv u64 band words, first/last, scores by
+    shifted row)."""
+    lib = _load()
+    p = np.ascontiguousarray(pattern_enc, dtype=np.uint8)
+    t = np.ascontiguousarray(text_enc, dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    if not want_state:
+        return int(lib.qh_banded_score(
+            p.ctypes.data_as(_u8p), len(p), t.ctypes.data_as(_u8p),
+            text_finish, text_len, cutoff_score,
+            None, None, None, None, None, None))
+    # conservative capacities (see qh_banded_score)
+    k_end = abs(text_len - len(p)) + 1
+    cutoff = max(k_end, cutoff_score, 65)
+    ebb_cap = cutoff // 64 + 2
+    diff = len(p) - text_len
+    rel = -(-(cutoff - abs(diff)) // 2)
+    prolog = -(-rel // 64) if diff >= 0 else -(-(rel - diff) // 64)
+    nb_total = max(-(-text_finish // 64), 1)
+    n_rows = prolog + nb_total + ebb_cap + 2
+    pv = np.empty(ebb_cap, dtype=np.uint64)
+    mv = np.empty(ebb_cap, dtype=np.uint64)
+    scores = np.empty(n_rows, dtype=np.int64)
+    first = ctypes.c_int64()
+    last = ctypes.c_int64()
+    ebb = ctypes.c_int64()
+    score = int(lib.qh_banded_score(
+        p.ctypes.data_as(_u8p), len(p), t.ctypes.data_as(_u8p),
+        text_finish, text_len, cutoff_score,
+        pv.ctypes.data_as(u64p), mv.ctypes.data_as(u64p),
+        ctypes.byref(first), ctypes.byref(last),
+        scores.ctypes.data_as(i64p), ctypes.byref(ebb)))
+    return dict(score=score, pv=pv[:ebb.value], mv=mv[:ebb.value],
+                first=int(first.value), last=int(last.value),
+                scores=scores, prolog=prolog, ebb=int(ebb.value))
 
 
 def read_seq_batch(data: bytes, max_pairs: int):

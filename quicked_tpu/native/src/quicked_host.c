@@ -201,6 +201,143 @@ int64_t qh_cigar_sam(const char *ops, int64_t n, uint32_t *out) {
     return w;
 }
 
+/* --------------------------------------------- banded score (CPU path) */
+
+/*
+ * Host-native BandEd score-only kernel: the CPU-fallback compute path
+ * when no accelerator is available. Written from this repo's semantic
+ * model (ops/myers_np.py: banded_score), not from the reference C —
+ * same dataflow by construction: 64-bit Myers blocks, score-window band
+ * with dynamic cut/shift every 64 text columns.
+ *
+ * pattern_enc/text_enc: 5-letter-encoded sequences. Returns the final
+ * score; optionally exports the final band state for the Hirschberg
+ * driver (pass NULL to skip): pv/mv (ebb_out words), first/last block,
+ * and the block-row score array scores_out[row + prolog] for
+ * row in [-prolog, nb_total + ebb).
+ */
+#include <stdlib.h>
+
+#define QH_W 64
+
+static inline int64_t qh_div_ceil(int64_t a, int64_t b) {
+    return (a + b - 1) / b;
+}
+
+int64_t qh_banded_score(
+    const uint8_t *pattern_enc, int64_t plen,
+    const uint8_t *text_enc, int64_t text_finish,
+    int64_t text_len, int64_t cutoff_score,
+    uint64_t *pv_out, uint64_t *mv_out,
+    int64_t *first_out, int64_t *last_out,
+    int64_t *scores_out, int64_t *ebb_out) {
+    /* band geometry (model: band_geometry) */
+    int64_t k_end = (text_len > plen ? text_len - plen : plen - text_len) + 1;
+    int64_t cutoff = k_end > cutoff_score ? k_end : cutoff_score;
+    if (cutoff < 65) cutoff = 65;
+    int64_t diff = plen - text_len;
+    int64_t adiff = diff < 0 ? -diff : diff;
+    int64_t rel = qh_div_ceil(cutoff - adiff, 2);
+    int64_t prolog = (diff >= 0) ? qh_div_ceil(rel, QH_W)
+                                 : qh_div_ceil(rel - diff, QH_W);
+    int64_t ebb = qh_div_ceil(cutoff, QH_W) + 1;   /* score-only width */
+    int64_t num_block_rows = qh_div_ceil(plen > 0 ? plen : 1, QH_W);
+    int64_t finish_v = prolog * QH_W + diff;
+
+    /* PEQ over the 5-letter alphabet, tail padded to ones */
+    int64_t nw = plen > 0 ? qh_div_ceil(plen, QH_W) : 1;
+    uint64_t *peq = (uint64_t *)calloc((size_t)(nw * 5), sizeof(uint64_t));
+    for (int64_t i = 0; i < plen; i++)
+        peq[(i / QH_W) * 5 + pattern_enc[i]] |= 1ULL << (i % QH_W);
+    for (int64_t i = plen; i < nw * QH_W; i++)
+        for (int c = 0; c < 5; c++)
+            peq[(i / QH_W) * 5 + c] |= 1ULL << (i % QH_W);
+    int64_t mod = plen % QH_W;
+
+    /* state */
+    uint64_t *Pv = (uint64_t *)malloc((size_t)ebb * sizeof(uint64_t));
+    uint64_t *Mv = (uint64_t *)malloc((size_t)ebb * sizeof(uint64_t));
+    /* scores by absolute block row, offset by prolog; rows in
+     * [-prolog, nb_total + ebb + 1) */
+    int64_t nb_total = qh_div_ceil(text_finish > 0 ? text_finish : 1, QH_W);
+    int64_t n_rows = prolog + nb_total + ebb + 2;
+    int64_t *sc = (int64_t *)malloc((size_t)n_rows * sizeof(int64_t));
+    for (int64_t r = 0; r < n_rows; r++)
+        sc[r] = (r - prolog + 1) * QH_W;   /* init: (row+1)*64 */
+
+    for (int64_t i = 0; i < ebb; i++) { Pv[i] = ~0ULL; Mv[i] = 0; }
+    int64_t pos_v = -prolog, pos_h = 0;
+    int64_t first = prolog, last = ebb - 1;
+
+    int64_t text_block = text_finish / QH_W;
+    for (int64_t k = 0; k <= text_block; k++) {
+        int64_t t_end = (k < text_block) ? (k + 1) * QH_W : text_finish;
+        for (int64_t t = k * QH_W; t < t_end; t++) {
+            const int c = text_enc[t];
+            uint64_t phin = 1, mhin = 0;
+            for (int64_t i = first; i <= last; i++) {
+                int64_t row = i + pos_v;
+                uint64_t eq = (row < nw) ? peq[row * 5 + c] : ~0ULL;
+                uint64_t lm = (row == nw - 1 && mod)
+                                  ? (1ULL << (mod - 1))
+                                  : (1ULL << 63);
+                /* advance block (model: advance_block) */
+                uint64_t pv = Pv[i], mv = Mv[i];
+                uint64_t xv = eq | mv;
+                uint64_t eq2 = eq | mhin;
+                uint64_t xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+                uint64_t ph = mv | ~(xh | pv);
+                uint64_t mh = pv & xh;
+                uint64_t phout = (ph & lm) ? 1 : 0;
+                uint64_t mhout = (mh & lm) ? 1 : 0;
+                ph = (ph << 1) | phin;
+                mh = (mh << 1) | mhin;
+                Pv[i] = mh | ~(xv | ph);
+                Mv[i] = ph & xv;
+                phin = phout;
+                mhin = mhout;
+                sc[row + prolog] += (int64_t)phout - (int64_t)mhout;
+            }
+        }
+        if (k == text_block) break;
+        /* band maintenance every 64 columns (model loop tail) */
+        int cut_lower = (first + 2 < last) && (finish_v > QH_W * (first + 1))
+            && (sc[first + pos_v + 1 + prolog]
+                + (finish_v - QH_W * (first + 1))) > cutoff;
+        if (cut_lower && pos_h >= prolog) first += 1;
+        else if (!cut_lower && pos_h < prolog) first -= 1;
+        for (int64_t j = first; j < last; j++) {
+            Pv[j] = Pv[j + 1];
+            Mv[j] = Mv[j + 1];
+        }
+        Pv[last] = ~0ULL;
+        Mv[last] = 0;
+        int64_t pos = last + pos_v;
+        sc[pos + 1 + prolog] = sc[pos + prolog] + QH_W;
+        int cut_higher = (first + 2 < last) && (QH_W * (last - 1) > finish_v)
+            && (sc[last + pos_v - 1 + prolog]
+                + (QH_W * (last - 1) - finish_v)) > cutoff;
+        if (cut_higher || (pos_v + last >= num_block_rows)) last -= 1;
+        pos_v += 1;
+        pos_h += 1;
+    }
+
+    int64_t final_block = (mod != 0) ? plen / QH_W : (plen - 1) / QH_W;
+    if (final_block < 0) final_block = 0;
+    int64_t score = sc[final_block + prolog]
+        - (mod != 0 ? (QH_W - mod) : 0);
+
+    if (pv_out) for (int64_t i = 0; i < ebb; i++) pv_out[i] = Pv[i];
+    if (mv_out) for (int64_t i = 0; i < ebb; i++) mv_out[i] = Mv[i];
+    if (first_out) *first_out = first;
+    if (last_out) *last_out = last;
+    if (scores_out) for (int64_t r = 0; r < n_rows; r++) scores_out[r] = sc[r];
+    if (ebb_out) *ebb_out = ebb;
+
+    free(peq); free(Pv); free(Mv); free(sc);
+    return score;
+}
+
 /* ------------------------------------------------------ sequence IO */
 
 /*

@@ -1,0 +1,85 @@
+"""Host-native BandEd execution path (CPU fallback).
+
+When no accelerator is available, the per-pair C kernel
+(native/src/quicked_host.c: qh_banded_score) runs the banded score pass
+at C speed instead of the XLA-CPU scan. Output matches
+banded_jax.run_banded's score-only dict lane-for-lane on everything the
+consumers read (final scores, live band state [first..last], block-row
+scores); band rows outside the live band hold init values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from quicked_tpu import native
+from quicked_tpu.ops.batch_prep import BandedBatch
+
+W = 64
+
+
+def native_available() -> bool:
+    return native.available()
+
+
+def run_banded_native(batch: BandedBatch):
+    """Execute the score-only banded pass through the C kernel."""
+    assert not batch.full, "native path is score-only"
+    assert batch.enc_patterns is not None, "batch lacks host sequences"
+    B, EBB, K = batch.B, batch.EBB, batch.K
+    n = len(batch.enc_patterns)
+
+    scores_by_k = np.empty((K + 1, B), dtype=np.int32)
+    # padded lanes / untouched rows: the init formula (k - prolog + 1)*64
+    k_idx = np.arange(K + 1, dtype=np.int64)[:, None]
+    scores_by_k[:] = ((k_idx - batch.prolog[None, :] + 1) * W)
+    pv_lo = np.full((EBB, B), 0xFFFFFFFF, dtype=np.uint32)
+    pv_hi = np.full((EBB, B), 0xFFFFFFFF, dtype=np.uint32)
+    mv_lo = np.zeros((EBB, B), dtype=np.uint32)
+    mv_hi = np.zeros((EBB, B), dtype=np.uint32)
+    first = batch.first0.astype(np.int32).copy()
+    last = batch.last0.astype(np.int32).copy()
+
+    def one(b):
+        res = native.banded_score(
+            batch.enc_patterns[b], batch.enc_texts[b],
+            int(batch.cutoff[b]), int(batch.tlen[b]),
+            int(batch.tfinish[b]), want_state=True)
+        first[b] = res["first"]
+        last[b] = res["last"]
+        ebb = res["ebb"]
+        pv = res["pv"]
+        mv = res["mv"]
+        pv_lo[:ebb, b] = (pv & 0xFFFFFFFF).astype(np.uint32)
+        pv_hi[:ebb, b] = (pv >> np.uint64(32)).astype(np.uint32)
+        mv_lo[:ebb, b] = (mv & 0xFFFFFFFF).astype(np.uint32)
+        mv_hi[:ebb, b] = (mv >> np.uint64(32)).astype(np.uint32)
+        sc = res["scores"]
+        # scores_by_k row k <-> absolute row k - prolog; the C kernel's
+        # array uses the same offset
+        m = min(len(sc), K + 1)
+        scores_by_k[:m, b] = sc[:m]
+
+    # ctypes releases the GIL during the C call: thread the lane loop
+    # (the host-CPU analogue of the reference's OpenMP batch loop,
+    # align_benchmark.c:232-306)
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(int(os.environ.get("QUICKED_TPU_CPU_THREADS",
+                                     os.cpu_count() or 1)), max(n, 1))
+
+    def chunk(lo, hi):
+        for b in range(lo, hi):
+            one(b)
+
+    if workers > 1 and n > workers:
+        step = -(-n // workers)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(lambda w: chunk(w * step, min((w + 1) * step, n)),
+                        range(workers)))
+    else:
+        chunk(0, n)
+
+    return dict(scores_by_k=scores_by_k, pv_lo=pv_lo, pv_hi=pv_hi,
+                mv_lo=mv_lo, mv_hi=mv_hi, first=first, last=last)

@@ -86,6 +86,10 @@ class BandedBatch:
     last0: np.ndarray
     plen: np.ndarray
     tlen: np.ndarray
+    # original encoded sequences (host references, not device data) —
+    # consumed by the native CPU kernel path (ops/banded_native.py)
+    enc_patterns: list | None = None
+    enc_texts: list | None = None
 
 
 def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,
@@ -196,7 +200,7 @@ def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,
         nbr=vec(nbr, fill=1), finish_v=vec(finish_v),
         tfinish=vec(text_finish), first0=vec(prolog),
         last0=vec(ebb_p - 1, fill=0), plen=vec(plen, fill=1),
-        tlen=vec(tlen, fill=1),
+        tlen=vec(tlen, fill=1), enc_patterns=enc_p, enc_texts=enc_t,
     )
 
 
