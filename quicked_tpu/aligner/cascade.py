@@ -60,11 +60,67 @@ def _windowed_device(size: int):
         return None
 
 
+def _windowed_native_batch(patterns, texts, hew_threshold, window_size,
+                           overlap_size):
+    """CPU path: per-pair C windowed kernel, threaded over lanes."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from quicked_tpu import dna, native
+
+    n = len(patterns)
+    scores = np.zeros(n, dtype=np.int64)
+    hews = np.zeros(n, dtype=np.int64)
+
+    def raw(s, enc):
+        if isinstance(s, np.ndarray):
+            return np.asarray(enc, dtype=np.uint8).tobytes()
+        return s.encode("ascii", "replace")
+
+    def one(i):
+        p, t = patterns[i], texts[i]
+        pe = p if isinstance(p, np.ndarray) else dna.encode(p)
+        te = t if isinstance(t, np.ndarray) else dna.encode(t)
+        scores[i], hews[i] = native.windowed_score(
+            pe, raw(p, pe), te, raw(t, te), window_size, overlap_size,
+            hew_threshold)
+
+    workers = min(int(os.environ.get("QUICKED_TPU_CPU_THREADS",
+                                     os.cpu_count() or 1)), max(n, 1))
+    if workers > 1 and n > workers:
+        step = -(-n // workers)
+
+        def chunk(w):
+            for i in range(w * step, min((w + 1) * step, n)):
+                one(i)
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(chunk, range(workers)))
+    else:
+        for i in range(n):
+            one(i)
+    return scores, hews
+
+
 def windowed_score_batch(patterns, texts, hew_threshold: int,
                          window_size: int, overlap_size: int,
                          min_lanes: int = 8):
-    """Bucketed batched windowed score bound. Returns (score, hew) i64."""
+    """Bucketed batched windowed score bound. Returns (score, hew) i64.
+
+    Routing: the C kernel serves CPU platforms entirely and, on
+    accelerators, the long-read buckets (the window walk is a long
+    sequential loop of narrow ops — accelerator-hostile); short-read
+    buckets batch onto the device kernel."""
+    import jax
+
+    from quicked_tpu import native
+
     n = len(patterns)
+    platform = jax.devices()[0].platform
+    use_native = native.available() and window_size <= 16
+    if use_native and platform == "cpu":
+        return _windowed_native_batch(patterns, texts, hew_threshold,
+                                      window_size, overlap_size)
     scores = np.zeros(n, dtype=np.int64)
     hews = np.zeros(n, dtype=np.int64)
     cols = W * window_size
@@ -75,13 +131,17 @@ def windowed_score_batch(patterns, texts, hew_threshold: int,
     for size, idxs in by_key.items():
         pats = [patterns[i] for i in idxs]
         txts = [texts[i] for i in idxs]
-        b_pad = max(_next_pow2(len(idxs)), min_lanes)
-        batch = prepare_windowed_batch(
-            pats, txts, window_size=window_size, pad_to_b=b_pad,
-            min_t=size, min_p=size, min_kp=size // W + 1)
-        sc, hw = run_windowed_score(batch, hew_threshold, window_size,
-                                    overlap_size,
-                                    device=_windowed_device(size))
+        if use_native and size >= WINDOWED_CPU_MIN_LEN:
+            sc, hw = _windowed_native_batch(pats, txts, hew_threshold,
+                                            window_size, overlap_size)
+        else:
+            b_pad = max(_next_pow2(len(idxs)), min_lanes)
+            batch = prepare_windowed_batch(
+                pats, txts, window_size=window_size, pad_to_b=b_pad,
+                min_t=size, min_p=size, min_kp=size // W + 1)
+            sc, hw = run_windowed_score(batch, hew_threshold, window_size,
+                                        overlap_size,
+                                        device=_windowed_device(size))
         for j, i in enumerate(idxs):
             scores[i] = sc[j]
             hews[i] = hw[j]

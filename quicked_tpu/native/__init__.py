@@ -80,6 +80,13 @@ def _load():
         lib.qh_banded_score.argtypes = [
             _u8p, _i64, _u8p, _i64, _i64, _i64,
             _u64p, _u64p, _i64p, _i64p, _i64p, _i64p]
+        lib.qh_banded_align_full.restype = _i64
+        lib.qh_banded_align_full.argtypes = [
+            _u8p, _u8p, _i64, _u8p, _u8p, _i64, _i64,
+            ctypes.c_char_p, _i64p]
+        lib.qh_windowed_score.restype = _i64
+        lib.qh_windowed_score.argtypes = [
+            _u8p, _u8p, _i64, _u8p, _u8p, _i64, _i64, _i64, _i64, _i64p]
         _lib = lib
         return _lib
 
@@ -184,6 +191,41 @@ def banded_score(pattern_enc: np.ndarray, text_enc: np.ndarray,
     return dict(score=score, pv=pv[:ebb.value], mv=mv[:ebb.value],
                 first=int(first.value), last=int(last.value),
                 scores=scores, prolog=prolog, ebb=int(ebb.value))
+
+
+def banded_align_full(pattern_enc: np.ndarray, pattern_raw: bytes,
+                      text_enc: np.ndarray, text_raw: bytes,
+                      cutoff_score: int):
+    """Host-native BandEd full alignment (fill + traceback).
+    Returns (score, ops_str)."""
+    lib = _load()
+    p = np.ascontiguousarray(pattern_enc, dtype=np.uint8)
+    t = np.ascontiguousarray(text_enc, dtype=np.uint8)
+    ops = ctypes.create_string_buffer(len(p) + len(t) + 1)
+    score = ctypes.c_int64()
+    n = lib.qh_banded_align_full(
+        p.ctypes.data_as(_u8p), _u8bytes(pattern_raw), len(p),
+        t.ctypes.data_as(_u8p), _u8bytes(text_raw), len(t),
+        cutoff_score, ops, ctypes.byref(score))
+    if n < 0:
+        raise MemoryError("qh_banded_align_full: allocation failed")
+    return int(score.value), ops.raw[:n].decode("ascii")
+
+
+def windowed_score(pattern_enc: np.ndarray, pattern_raw: bytes,
+                   text_enc: np.ndarray, text_raw: bytes,
+                   window_size: int, overlap_size: int,
+                   hew_threshold: int):
+    """Host-native WindowEd score bound. Returns (score, hew)."""
+    lib = _load()
+    p = np.ascontiguousarray(pattern_enc, dtype=np.uint8)
+    t = np.ascontiguousarray(text_enc, dtype=np.uint8)
+    hew = ctypes.c_int64()
+    score = int(lib.qh_windowed_score(
+        p.ctypes.data_as(_u8p), _u8bytes(pattern_raw), len(p),
+        t.ctypes.data_as(_u8p), _u8bytes(text_raw), len(t),
+        window_size, overlap_size, hew_threshold, ctypes.byref(hew)))
+    return score, int(hew.value)
 
 
 def read_seq_batch(data: bytes, max_pairs: int):

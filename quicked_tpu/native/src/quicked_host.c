@@ -45,6 +45,16 @@ void qh_encode_dna(const uint8_t *raw, int64_t n, uint8_t *out) {
 
 /* ---------------------------------------------------------- traceback */
 
+/* floor division/modulo (C truncates toward zero; the traceback's
+ * effective-row arithmetic needs Python's floor semantics for negative
+ * values, which are then range-guarded) */
+static inline int64_t fdiv64(int64_t a) {
+    return (a >= 0) ? a / 64 : -((-a + 63) / 64);
+}
+static inline int64_t fmod64(int64_t a) {
+    return a - fdiv64(a) * 64;
+}
+
 /* Bit (t, block, bit) of a (T, EBB, B) u32-pair plane for lane `lane`;
  * column index `col` is the reference DP column (col 0 = init column:
  * Pv = ones, Mv = zeros; col c>0 = plane row c-1). */
@@ -82,10 +92,10 @@ int64_t qh_traceback_banded(
         const int64_t block_h_r = (h + 1) / W;
         const int64_t eff_v = v - W * (block_h - prolog);
         const int64_t eff_v_r = v - W * (block_h_r - prolog);
-        const int64_t block_v = eff_v / W;
-        const int64_t block_v_r = eff_v_r / W;
-        const int64_t bit = eff_v % W;
-        const int64_t bit_r = eff_v_r % W;
+        const int64_t block_v = fdiv64(eff_v);
+        const int64_t block_v_r = fdiv64(eff_v_r);
+        const int64_t bit = fmod64(eff_v);
+        const int64_t bit_r = fmod64(eff_v_r);
         char op;
         if (block_v_r >= 0 && block_v_r < ebb &&
             plane_bit(pv_lo, pv_hi, ebb, nlanes, lane, h + 1, block_v_r,
@@ -335,6 +345,281 @@ int64_t qh_banded_score(
     if (ebb_out) *ebb_out = ebb;
 
     free(peq); free(Pv); free(Mv); free(sc);
+    return score;
+}
+
+/* ----------------------------------- banded full align (CPU path) */
+
+/*
+ * Host-native BandEd full alignment (fill + traceback), the CPU-path
+ * base case of the Hirschberg driver. Written from this repo's model
+ * (ops/myers_np.py: banded_fill + banded_traceback). The stored matrix
+ * is (tlen+1) x ebb u64 columns of Pv and Mv — the caller bounds the
+ * footprint (the 16 MB Hirschberg budget). Returns the op count written
+ * forward-order into ops_out (capacity plen + tlen); *score_out gets
+ * the DP score. Returns -1 if scratch allocation fails.
+ */
+int64_t qh_banded_align_full(
+    const uint8_t *pattern_enc, const uint8_t *pattern_raw, int64_t plen,
+    const uint8_t *text_enc, const uint8_t *text_raw, int64_t tlen,
+    int64_t cutoff_score, char *ops_out, int64_t *score_out) {
+    /* allocate-variant band geometry (model: band_geometry) */
+    int64_t k_end = (tlen > plen ? tlen - plen : plen - tlen) + 1;
+    int64_t cutoff = k_end > cutoff_score ? k_end : cutoff_score;
+    if (cutoff < 65) cutoff = 65;
+    int64_t diff = plen - tlen;
+    int64_t adiff = diff < 0 ? -diff : diff;
+    int64_t rel = qh_div_ceil(cutoff - adiff, 2);
+    int64_t prolog, ebb;
+    if (diff >= 0) {
+        prolog = qh_div_ceil(rel, QH_W);
+        ebb = qh_div_ceil(rel + diff, QH_W) + 1 + prolog;
+    } else {
+        prolog = qh_div_ceil(rel - diff, QH_W);
+        ebb = qh_div_ceil(rel, QH_W) + 1 + prolog;
+    }
+    int64_t num_block_rows = qh_div_ceil(plen > 0 ? plen : 1, QH_W);
+    int64_t finish_v = prolog * QH_W + diff;
+    int64_t mod = plen % QH_W;
+
+    int64_t nw = plen > 0 ? qh_div_ceil(plen, QH_W) : 1;
+    uint64_t *peq = (uint64_t *)calloc((size_t)(nw * 5), sizeof(uint64_t));
+    uint64_t *PvM = (uint64_t *)malloc((size_t)((tlen + 1) * ebb) * 8);
+    uint64_t *MvM = (uint64_t *)malloc((size_t)((tlen + 1) * ebb) * 8);
+    int64_t nb_total = qh_div_ceil(tlen > 0 ? tlen : 1, QH_W);
+    int64_t n_rows = prolog + nb_total + ebb + 2;
+    int64_t *sc = (int64_t *)malloc((size_t)n_rows * sizeof(int64_t));
+    if (!peq || !PvM || !MvM || !sc) {
+        free(peq); free(PvM); free(MvM); free(sc);
+        return -1;
+    }
+    for (int64_t i = 0; i < plen; i++)
+        peq[(i / QH_W) * 5 + pattern_enc[i]] |= 1ULL << (i % QH_W);
+    for (int64_t i = plen; i < nw * QH_W; i++)
+        for (int c = 0; c < 5; c++)
+            peq[(i / QH_W) * 5 + c] |= 1ULL << (i % QH_W);
+    for (int64_t r = 0; r < n_rows; r++)
+        sc[r] = (r - prolog + 1) * QH_W;
+
+    for (int64_t i = 0; i < ebb; i++) { PvM[i] = ~0ULL; MvM[i] = 0; }
+    int64_t pos_v = -prolog, pos_h = 0;
+    int64_t first = prolog, last = ebb - 1;
+
+    for (int64_t t = 0; t < tlen; t++) {
+        const int c = text_enc[t];
+        uint64_t phin = 1, mhin = 0;
+        uint64_t *cur = PvM + t * ebb, *nxt = cur + ebb;
+        uint64_t *curM = MvM + t * ebb, *nxtM = curM + ebb;
+        /* rows outside the live band: zeros (never read by traceback) */
+        for (int64_t i = 0; i < first; i++) { nxt[i] = 0; nxtM[i] = 0; }
+        for (int64_t i = last + 1; i < ebb; i++) { nxt[i] = 0; nxtM[i] = 0; }
+        for (int64_t i = first; i <= last; i++) {
+            int64_t row = i + pos_v;
+            uint64_t eq = (row < nw && row >= 0) ? peq[row * 5 + c] : ~0ULL;
+            uint64_t lm = (row == nw - 1 && mod) ? (1ULL << (mod - 1))
+                                                 : (1ULL << 63);
+            uint64_t pv = cur[i], mv = curM[i];
+            uint64_t xv = eq | mv;
+            uint64_t eq2 = eq | mhin;
+            uint64_t xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+            uint64_t ph = mv | ~(xh | pv);
+            uint64_t mh = pv & xh;
+            uint64_t phout = (ph & lm) ? 1 : 0;
+            uint64_t mhout = (mh & lm) ? 1 : 0;
+            ph = (ph << 1) | phin;
+            mh = (mh << 1) | mhin;
+            nxt[i] = mh | ~(xv | ph);
+            nxtM[i] = ph & xv;
+            phin = phout;
+            mhin = mhout;
+            sc[row + prolog] += (int64_t)phout - (int64_t)mhout;
+        }
+        if ((t + 1) % QH_W == 0) {
+            /* band maintenance on the stored column (model: banded_fill) */
+            int cut_lower = (first + 2 < last)
+                && (finish_v > QH_W * (first + 1))
+                && (sc[first + pos_v + 1 + prolog]
+                    + (finish_v - QH_W * (first + 1))) > cutoff;
+            if (cut_lower && pos_h >= prolog) first += 1;
+            else if (!cut_lower && pos_h < prolog) first -= 1;
+            for (int64_t j = first; j < last; j++) {
+                nxt[j] = nxt[j + 1];
+                nxtM[j] = nxtM[j + 1];
+            }
+            nxt[last] = ~0ULL;
+            nxtM[last] = 0;
+            int64_t pos = last + pos_v;
+            sc[pos + 1 + prolog] = sc[pos + prolog] + QH_W;
+            int cut_higher = (first + 2 < last)
+                && (QH_W * (last - 1) > finish_v)
+                && (sc[last + pos_v - 1 + prolog]
+                    + (QH_W * (last - 1) - finish_v)) > cutoff;
+            if (cut_higher || (pos_v + last >= num_block_rows - 1)) last -= 1;
+            pos_v += 1;
+            pos_h += 1;
+        }
+    }
+
+    int64_t final_block = (mod != 0) ? plen / QH_W : (plen - 1) / QH_W;
+    if (final_block < 0) final_block = 0;
+    *score_out = sc[final_block + prolog] - (mod != 0 ? (QH_W - mod) : 0);
+
+    /* traceback (model: banded_traceback; tie-break D, I, M, X;
+     * the M-test compares RAW characters) */
+    int64_t h = tlen - 1, v = plen - 1;
+    int64_t cap = plen + tlen, n = 0;
+    while (v >= 0 && h >= 0) {
+        int64_t block_h = h / QH_W;
+        int64_t block_h_r = (h + 1) / QH_W;
+        int64_t eff_v = v - QH_W * (block_h - prolog);
+        int64_t eff_v_r = v - QH_W * (block_h_r - prolog);
+        int64_t block_v = fdiv64(eff_v);
+        int64_t block_v_r = fdiv64(eff_v_r);
+        uint64_t mask = 1ULL << fmod64(eff_v);
+        uint64_t mask_r = 1ULL << fmod64(eff_v_r);
+        char op;
+        if (block_v_r >= 0 && block_v_r < ebb
+            && (PvM[(h + 1) * ebb + block_v_r] & mask_r)) {
+            op = 'D'; v--;
+        } else if (block_v >= 0 && block_v < ebb
+                   && (MvM[h * ebb + block_v] & mask)) {
+            op = 'I'; h--;
+        } else if (text_raw[h] == pattern_raw[v]) {
+            op = 'M'; h--; v--;
+        } else {
+            op = 'X'; h--; v--;
+        }
+        ops_out[cap - 1 - n] = op;
+        n++;
+    }
+    while (h >= 0) { ops_out[cap - 1 - n] = 'I'; n++; h--; }
+    while (v >= 0) { ops_out[cap - 1 - n] = 'D'; n++; v--; }
+    memmove(ops_out, ops_out + cap - n, (size_t)n);
+
+    free(peq); free(PvM); free(MvM); free(sc);
+    return n;
+}
+
+/* ------------------------------------- windowed score (CPU path) */
+
+/*
+ * Host-native WindowEd score bound (model: ops/myers_np.py
+ * windowed_compute with score_only=True): walk overlapping
+ * (64*ws x 64*ws)-cell windows from the bottom-right corner, fill each
+ * with the maskless Myers advance, greedily backtrace to the overlap
+ * boundary (tie-break D, I, M, X; M-test on RAW chars), accumulate the
+ * score and count High-Error Windows. ws <= 16.
+ */
+int64_t qh_windowed_score(
+    const uint8_t *pattern_enc, const uint8_t *pattern_raw, int64_t plen,
+    const uint8_t *text_enc, const uint8_t *text_raw, int64_t tlen,
+    int64_t window_size, int64_t overlap_size, int64_t hew_threshold,
+    int64_t *hew_out) {
+    const int64_t ws = window_size, ovl = overlap_size;
+    const int64_t cols = QH_W * ws;
+    int64_t nw = plen > 0 ? qh_div_ceil(plen, QH_W) : 1;
+    uint64_t *peq = (uint64_t *)calloc((size_t)(nw * 5), sizeof(uint64_t));
+    for (int64_t i = 0; i < plen; i++)
+        peq[(i / QH_W) * 5 + pattern_enc[i]] |= 1ULL << (i % QH_W);
+    for (int64_t i = plen; i < nw * QH_W; i++)
+        for (int c = 0; c < 5; c++)
+            peq[(i / QH_W) * 5 + c] |= 1ULL << (i % QH_W);
+
+    /* window matrices: (cols+1) columns x ws blocks */
+    uint64_t *PvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
+    uint64_t *MvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
+    uint64_t peq_win[16][5];
+
+    int64_t pos_v = plen - 1, pos_h = tlen - 1;
+    int64_t score = 0, hew = 0;
+    const int64_t hew_cells = (ws - ovl) * QH_W * hew_threshold / 100;
+
+    while (pos_v >= 0 && pos_h >= 0) {
+        const int64_t v_min = pos_v - cols + 1 > 0 ? pos_v - cols + 1 : 0;
+        const int64_t h_min = pos_h - cols + 1 > 0 ? pos_h - cols + 1 : 0;
+        const int64_t steps_v = (pos_v - v_min) / QH_W + 1;
+        const int64_t steps_h = pos_h - h_min;
+        const int64_t shift = v_min % QH_W;
+        const int64_t v_block = v_min / QH_W;
+
+        /* shifted PEQ window (model: _window_fill) */
+        for (int64_t i = 0; i < steps_v; i++)
+            for (int c = 0; c < 5; c++) {
+                uint64_t lo = (i + v_block < nw) ? peq[(i + v_block) * 5 + c]
+                                                 : ~0ULL;
+                uint64_t hi = (i + v_block + 1 < nw)
+                                  ? peq[(i + v_block + 1) * 5 + c] : 0;
+                peq_win[i][c] = shift ? ((lo >> shift) | (hi << (QH_W - shift)))
+                                      : lo;
+            }
+
+        uint64_t Pv[16], Mv[16];
+        for (int64_t i = 0; i < ws; i++) {
+            Pv[i] = (h_min == 0) ? ~0ULL : 0;
+            Mv[i] = 0;
+        }
+        const uint64_t ph_first = (v_min == 0) ? 1 : 0;
+        for (int64_t i = 0; i < steps_v; i++) {
+            PvW[i] = Pv[i];
+            MvW[i] = Mv[i];
+        }
+        for (int64_t tp = 0; tp <= steps_h; tp++) {
+            const int c = text_enc[tp + h_min];
+            uint64_t phin = ph_first, mhin = 0;
+            for (int64_t i = 0; i < steps_v; i++) {
+                uint64_t eq = peq_win[i][c];
+                uint64_t pv = Pv[i], mv = Mv[i];
+                uint64_t xv = eq | mv;
+                uint64_t eq2 = eq | mhin;
+                uint64_t xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+                uint64_t ph = mv | ~(xh | pv);
+                uint64_t mh = pv & xh;
+                uint64_t phout = ph >> 63;
+                uint64_t mhout = mh >> 63;
+                ph = (ph << 1) | phin;
+                mh = (mh << 1) | mhin;
+                Pv[i] = mh | ~(xv | ph);
+                Mv[i] = ph & xv;
+                phin = phout;
+                mhin = mhout;
+            }
+            for (int64_t i = 0; i < steps_v; i++) {
+                PvW[(tp + 1) * ws + i] = Pv[i];
+                MvW[(tp + 1) * ws + i] = Mv[i];
+            }
+        }
+
+        /* greedy score-only backtrace (model: _window_backtrace) */
+        int64_t h = pos_h, v = pos_v;
+        const int64_t h_ovl = pos_h - QH_W * (ws - ovl) + 1 > 0
+                                  ? pos_h - QH_W * (ws - ovl) + 1 : 0;
+        const int64_t v_ovl = pos_v - QH_W * (ws - ovl) + 1 > 0
+                                  ? pos_v - QH_W * (ws - ovl) + 1 : 0;
+        int64_t wsc = 0;
+        while (v >= v_ovl && h >= h_ovl) {
+            const int64_t block = (v - v_min) / QH_W;
+            const int64_t col = h - h_min + 1;
+            const uint64_t mask = 1ULL << ((v - v_min) % QH_W);
+            if (PvW[col * ws + block] & mask) {
+                wsc++; v--;
+            } else if (MvW[(col - 1) * ws + block] & mask) {
+                wsc++; h--;
+            } else if (text_raw[h] == pattern_raw[v]) {
+                h--; v--;
+            } else {
+                wsc++; h--; v--;
+            }
+        }
+        if (wsc > hew_cells) hew++;
+        score += wsc;
+        pos_h = h;
+        pos_v = v;
+    }
+    if (pos_h >= 0) score += pos_h + 1;
+    if (pos_v >= 0) score += pos_v + 1;
+
+    free(peq); free(PvW); free(MvW);
+    if (hew_out) *hew_out = hew;
     return score;
 }
 

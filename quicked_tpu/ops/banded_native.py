@@ -22,6 +22,50 @@ def native_available() -> bool:
     return native.available()
 
 
+def run_banded_full_native(patterns, texts, cutoffs, workers=None):
+    """Full BandEd alignment (fill + traceback) per pair through the C
+    kernel; returns (scores int64 array, ops list). The CPU-path
+    equivalent of the full-matrix device kernel + host traceback."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from quicked_tpu import dna
+
+    n = len(patterns)
+    scores = np.zeros(n, dtype=np.int64)
+    ops_out: list = [None] * n
+
+    def raw(s, enc):
+        if isinstance(s, np.ndarray):
+            return np.asarray(enc, dtype=np.uint8).tobytes()
+        return s.encode("ascii", "replace")
+
+    def one(i):
+        p, t = patterns[i], texts[i]
+        pe = p if isinstance(p, np.ndarray) else dna.encode(p)
+        te = t if isinstance(t, np.ndarray) else dna.encode(t)
+        sc, ops = native.banded_align_full(pe, raw(p, pe), te, raw(t, te),
+                                           int(cutoffs[i]))
+        scores[i] = sc
+        ops_out[i] = ops
+
+    workers = workers or min(int(os.environ.get(
+        "QUICKED_TPU_CPU_THREADS", os.cpu_count() or 1)), max(n, 1))
+    if workers > 1 and n > workers:
+        step = -(-n // workers)
+
+        def chunk(w):
+            for i in range(w * step, min((w + 1) * step, n)):
+                one(i)
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(chunk, range(workers)))
+    else:
+        for i in range(n):
+            one(i)
+    return scores, ops_out
+
+
 def run_banded_native(batch: BandedBatch):
     """Execute the score-only banded pass through the C kernel."""
     assert not batch.full, "native path is score-only"
