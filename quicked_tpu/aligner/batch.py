@@ -110,15 +110,16 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
     """
     n = len(patterns)
     if not only_score:
-        import jax
-
-        if jax.devices()[0].platform == "cpu":
-            from quicked_tpu.ops.banded_native import (
-                native_available,
-                run_banded_full_native,
-            )
-            if native_available():
-                return run_banded_full_native(patterns, texts, cutoffs)
+        # Full fills route to the host C kernel on every platform when
+        # available: the stored band planes (~16 MB/pair at the
+        # Hirschberg budget) make the device path transfer-bound, while
+        # the C fill+traceback is ~ms per base case.
+        from quicked_tpu.ops.banded_native import (
+            native_available,
+            run_banded_full_native,
+        )
+        if native_available():
+            return run_banded_full_native(patterns, texts, cutoffs)
     scores = np.zeros(n, dtype=np.int64)
     ops_out: list = [None] * n
     plens = [len(p) for p in patterns]
