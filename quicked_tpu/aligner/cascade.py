@@ -152,8 +152,26 @@ def windowed_full_batch(patterns, texts, window_size: int,
                         overlap_size: int, min_lanes: int = 8) -> list:
     """Bucketed batched full-CIGAR windowed alignment; returns op
     strings in input order."""
+    import jax
+
+    from quicked_tpu import dna, native
+
     n = len(patterns)
-    out: list = [None] * n
+    if window_size <= 16 and native.available() and \
+            jax.devices()[0].platform == "cpu":
+        def raw(s, enc):
+            if isinstance(s, np.ndarray):
+                return np.asarray(enc, dtype=np.uint8).tobytes()
+            return s.encode("ascii", "replace")
+
+        out = []
+        for p, t in zip(patterns, texts):
+            pe = p if isinstance(p, np.ndarray) else dna.encode(p)
+            te = t if isinstance(t, np.ndarray) else dna.encode(t)
+            out.append(native.windowed_full(pe, raw(p, pe), te, raw(t, te),
+                                            window_size, overlap_size))
+        return out
+    out = [None] * n
     cols = W * window_size
     by_key: dict = {}
     for i in range(n):

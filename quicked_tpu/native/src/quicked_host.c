@@ -623,6 +623,123 @@ int64_t qh_windowed_score(
     return score;
 }
 
+/*
+ * Full-CIGAR windowed mode (model: windowed_compute with
+ * score_only=False): same window fills, backtrace tie-break M, D, I, X
+ * with op emission right-to-left. Writes forward-order ops into
+ * ops_out (capacity plen + tlen); returns the op count.
+ */
+int64_t qh_windowed_full(
+    const uint8_t *pattern_enc, const uint8_t *pattern_raw, int64_t plen,
+    const uint8_t *text_enc, const uint8_t *text_raw, int64_t tlen,
+    int64_t window_size, int64_t overlap_size, char *ops_out) {
+    const int64_t ws = window_size, ovl = overlap_size;
+    const int64_t cols = QH_W * ws;
+    int64_t nw = plen > 0 ? qh_div_ceil(plen, QH_W) : 1;
+    uint64_t *peq = (uint64_t *)calloc((size_t)(nw * 5), sizeof(uint64_t));
+    for (int64_t i = 0; i < plen; i++)
+        peq[(i / QH_W) * 5 + pattern_enc[i]] |= 1ULL << (i % QH_W);
+    for (int64_t i = plen; i < nw * QH_W; i++)
+        for (int c = 0; c < 5; c++)
+            peq[(i / QH_W) * 5 + c] |= 1ULL << (i % QH_W);
+
+    uint64_t *PvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
+    uint64_t *MvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
+    uint64_t peq_win[16][5];
+
+    int64_t pos_v = plen - 1, pos_h = tlen - 1;
+    const int64_t cap = plen + tlen;
+    int64_t n = 0;
+
+    while (pos_v >= 0 && pos_h >= 0) {
+        const int64_t v_min = pos_v - cols + 1 > 0 ? pos_v - cols + 1 : 0;
+        const int64_t h_min = pos_h - cols + 1 > 0 ? pos_h - cols + 1 : 0;
+        const int64_t steps_v = (pos_v - v_min) / QH_W + 1;
+        const int64_t steps_h = pos_h - h_min;
+        const int64_t shift = v_min % QH_W;
+        const int64_t v_block = v_min / QH_W;
+
+        for (int64_t i = 0; i < steps_v; i++)
+            for (int c = 0; c < 5; c++) {
+                uint64_t lo = (i + v_block < nw) ? peq[(i + v_block) * 5 + c]
+                                                 : ~0ULL;
+                uint64_t hi = (i + v_block + 1 < nw)
+                                  ? peq[(i + v_block + 1) * 5 + c] : 0;
+                peq_win[i][c] = shift ? ((lo >> shift) | (hi << (QH_W - shift)))
+                                      : lo;
+            }
+
+        uint64_t Pv[16], Mv[16];
+        for (int64_t i = 0; i < ws; i++) {
+            Pv[i] = (h_min == 0) ? ~0ULL : 0;
+            Mv[i] = 0;
+        }
+        const uint64_t ph_first = (v_min == 0) ? 1 : 0;
+        for (int64_t i = 0; i < steps_v; i++) {
+            PvW[i] = Pv[i];
+            MvW[i] = Mv[i];
+        }
+        for (int64_t tp = 0; tp <= steps_h; tp++) {
+            const int c = text_enc[tp + h_min];
+            uint64_t phin = ph_first, mhin = 0;
+            for (int64_t i = 0; i < steps_v; i++) {
+                uint64_t eq = peq_win[i][c];
+                uint64_t pv = Pv[i], mv = Mv[i];
+                uint64_t xv = eq | mv;
+                uint64_t eq2 = eq | mhin;
+                uint64_t xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+                uint64_t ph = mv | ~(xh | pv);
+                uint64_t mh = pv & xh;
+                uint64_t phout = ph >> 63;
+                uint64_t mhout = mh >> 63;
+                ph = (ph << 1) | phin;
+                mh = (mh << 1) | mhin;
+                Pv[i] = mh | ~(xv | ph);
+                Mv[i] = ph & xv;
+                phin = phout;
+                mhin = mhout;
+            }
+            for (int64_t i = 0; i < steps_v; i++) {
+                PvW[(tp + 1) * ws + i] = Pv[i];
+                MvW[(tp + 1) * ws + i] = Mv[i];
+            }
+        }
+
+        /* full-mode backtrace: tie-break M, D, I, X
+         * (windowed_backtrace, bpm_windowed.c:448-502) */
+        int64_t h = pos_h, v = pos_v;
+        const int64_t h_ovl = pos_h - QH_W * (ws - ovl) + 1 > 0
+                                  ? pos_h - QH_W * (ws - ovl) + 1 : 0;
+        const int64_t v_ovl = pos_v - QH_W * (ws - ovl) + 1 > 0
+                                  ? pos_v - QH_W * (ws - ovl) + 1 : 0;
+        while (v >= v_ovl && h >= h_ovl) {
+            const int64_t block = (v - v_min) / QH_W;
+            const int64_t col = h - h_min + 1;
+            const uint64_t mask = 1ULL << ((v - v_min) % QH_W);
+            char op;
+            if (text_raw[h] == pattern_raw[v]) {
+                op = 'M'; h--; v--;
+            } else if (PvW[col * ws + block] & mask) {
+                op = 'D'; v--;
+            } else if (MvW[(col - 1) * ws + block] & mask) {
+                op = 'I'; h--;
+            } else {
+                op = 'X'; h--; v--;
+            }
+            ops_out[cap - 1 - n] = op;
+            n++;
+        }
+        pos_h = h;
+        pos_v = v;
+    }
+    while (pos_h >= 0) { ops_out[cap - 1 - n] = 'I'; n++; pos_h--; }
+    while (pos_v >= 0) { ops_out[cap - 1 - n] = 'D'; n++; pos_v--; }
+    memmove(ops_out, ops_out + cap - n, (size_t)n);
+
+    free(peq); free(PvW); free(MvW);
+    return n;
+}
+
 /* ------------------------------------------------------ sequence IO */
 
 /*
