@@ -63,10 +63,8 @@ def _windowed_device(size: int):
 def _windowed_native_batch(patterns, texts, hew_threshold, window_size,
                            overlap_size):
     """CPU path: per-pair C windowed kernel, threaded over lanes."""
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
     from quicked_tpu import dna, native
+    from quicked_tpu.utils.host_threads import map_lanes
 
     n = len(patterns)
     scores = np.zeros(n, dtype=np.int64)
@@ -85,20 +83,7 @@ def _windowed_native_batch(patterns, texts, hew_threshold, window_size,
             pe, raw(p, pe), te, raw(t, te), window_size, overlap_size,
             hew_threshold)
 
-    workers = min(int(os.environ.get("QUICKED_TPU_CPU_THREADS",
-                                     os.cpu_count() or 1)), max(n, 1))
-    if workers > 1 and n > workers:
-        step = -(-n // workers)
-
-        def chunk(w):
-            for i in range(w * step, min((w + 1) * step, n)):
-                one(i)
-
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(chunk, range(workers)))
-    else:
-        for i in range(n):
-            one(i)
+    map_lanes(one, n)
     return scores, hews
 
 

@@ -14,6 +14,7 @@ import numpy as np
 
 from quicked_tpu import native
 from quicked_tpu.ops.batch_prep import BandedBatch
+from quicked_tpu.utils.host_threads import map_lanes
 
 W = 64
 
@@ -26,9 +27,6 @@ def run_banded_full_native(patterns, texts, cutoffs, workers=None):
     """Full BandEd alignment (fill + traceback) per pair through the C
     kernel; returns (scores int64 array, ops list). The CPU-path
     equivalent of the full-matrix device kernel + host traceback."""
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
     from quicked_tpu import dna
 
     n = len(patterns)
@@ -49,20 +47,7 @@ def run_banded_full_native(patterns, texts, cutoffs, workers=None):
         scores[i] = sc
         ops_out[i] = ops
 
-    workers = workers or min(int(os.environ.get(
-        "QUICKED_TPU_CPU_THREADS", os.cpu_count() or 1)), max(n, 1))
-    if workers > 1 and n > workers:
-        step = -(-n // workers)
-
-        def chunk(w):
-            for i in range(w * step, min((w + 1) * step, n)):
-                one(i)
-
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(chunk, range(workers)))
-    else:
-        for i in range(n):
-            one(i)
+    map_lanes(one, n, workers)
     return scores, ops_out
 
 
@@ -104,26 +89,7 @@ def run_banded_native(batch: BandedBatch):
         m = min(len(sc), K + 1)
         scores_by_k[:m, b] = sc[:m]
 
-    # ctypes releases the GIL during the C call: thread the lane loop
-    # (the host-CPU analogue of the reference's OpenMP batch loop,
-    # align_benchmark.c:232-306)
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
-    workers = min(int(os.environ.get("QUICKED_TPU_CPU_THREADS",
-                                     os.cpu_count() or 1)), max(n, 1))
-
-    def chunk(lo, hi):
-        for b in range(lo, hi):
-            one(b)
-
-    if workers > 1 and n > workers:
-        step = -(-n // workers)
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(lambda w: chunk(w * step, min((w + 1) * step, n)),
-                        range(workers)))
-    else:
-        chunk(0, n)
+    map_lanes(one, n)
 
     return dict(scores_by_k=scores_by_k, pv_lo=pv_lo, pv_hi=pv_hi,
                 mv_lo=mv_lo, mv_hi=mv_hi, first=first, last=last)
