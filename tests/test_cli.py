@@ -62,6 +62,24 @@ def test_cli_byte_parity(dataset, algo, extra, tmp_path):
         assert f1.read() == f2.read()
 
 
+def test_cli_output_full_parity(dataset, tmp_path):
+    # 6-column --output-full format (benchmark_utils.c:151-170)
+    if oracle.oracle_path("align_benchmark") is None:
+        pytest.skip("C reference oracle unavailable")
+    ours = str(tmp_path / "ours.tsv")
+    ref = str(tmp_path / "ref.tsv")
+    subprocess.run(
+        [sys.executable, CLI, "-a", "edit-banded", "--bandwidth", "15",
+         "-i", dataset, "--output-full", ours, "--platform", "cpu", "-q"],
+        check=True, capture_output=True, timeout=560, env=_env())
+    subprocess.run(
+        [oracle.oracle_path("align_benchmark"), "-a", "edit-banded",
+         "--bandwidth", "15", "-i", dataset, "--output-full", ref, "-q"],
+        check=True, capture_output=True, timeout=300)
+    with open(ours) as f1, open(ref) as f2:
+        assert f1.read() == f2.read()
+
+
 def test_cli_edlib_unsupported(dataset):
     r = subprocess.run(
         [sys.executable, CLI, "-a", "edlib", "-i", dataset],

@@ -95,3 +95,23 @@ def test_u64_shifts():
     bits = u64.bit64(lo, hi, idx)
     for i in range(64):
         assert int(bits[i]) == (int(vals[i]) >> i) & 1
+
+
+def test_mm_stack():
+    from quicked_tpu.utils.mm_stack import MMStack
+
+    st = MMStack(segment_size=64)
+    st.push()
+    a = st.allocate(16, zero=True)
+    assert a.shape == (16,) and int(a.sum()) == 0
+    b = st.allocate(40)        # spills within segment budget
+    c = st.allocate(100)       # oversized: own segment
+    assert b.shape == (40,) and c.shape == (100,)
+    st.push()
+    st.allocate(30)
+    st.pop()                   # frees the inner scope
+    d = st.allocate(30)
+    assert d.shape == (30,)
+    st.pop()                   # outer scope unwinds fully
+    e = st.allocate(8)
+    assert e.shape == (8,)
