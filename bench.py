@@ -116,19 +116,23 @@ def _cpu_rate(pairs):
     return bases / dt
 
 
-def _device_healthy(timeout_s: float = 90.0) -> bool:
+def _device_healthy(timeout_s: float = 150.0, attempts: int = 2) -> bool:
     """Probe the accelerator with a trivial computation under a timeout —
-    this environment's TPU tunnel can wedge; fall back to CPU then."""
+    this environment's TPU tunnel can wedge; fall back to CPU then. Two
+    attempts: the first may just be warming a cold tunnel."""
     code = ("import jax, jax.numpy as jnp, numpy as np;"
             "np.asarray(jax.jit(lambda a: (a * 2).sum())(jnp.arange(128)));"
             "print('ok')")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True,
-                           timeout=timeout_s)
-        return "ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if "ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
