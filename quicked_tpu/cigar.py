@@ -158,8 +158,13 @@ class Cigar:
     def check_alignment(self, pattern: str, text: str, verbose: bool = False) -> bool:
         """Replay operations against both sequences; True iff consistent."""
         from quicked_tpu import native
+        # Native fast path only for pure-ASCII sequences: the ascii
+        # 'replace' encoding collapses distinct non-ASCII characters to
+        # '?', which would let an M op validate where the true char
+        # compare below rejects.
         if not verbose and native.available() and \
-                set(self.operations) <= set("MXID"):
+                set(self.operations) <= set("MXID") and \
+                pattern.isascii() and text.isascii():
             return native.cigar_check(self.operations,
                                       pattern.encode("ascii", "replace"),
                                       text.encode("ascii", "replace"))

@@ -180,9 +180,18 @@ def banded_score(pattern_enc: np.ndarray, text_enc: np.ndarray,
     prolog = -(-rel // 64) if diff >= 0 else -(-(rel - diff) // 64)
     nb_total = max(-(-text_finish // 64), 1)
     n_rows = prolog + nb_total + ebb_cap + 2
+    # the C kernel extends its rows to cover the pattern's final block
+    # (init-valued) when text_finish << plen; size the buffer to match
+    plen = len(p)
+    fb = plen // 64 if plen % 64 else max(plen - 1, 0) // 64
+    n_rows = max(n_rows, fb + prolog + 1)
     pv = np.empty(ebb_cap, dtype=np.uint64)
     mv = np.empty(ebb_cap, dtype=np.uint64)
-    scores = np.empty(n_rows, dtype=np.int64)
+    # Pre-fill with the C kernel's own init formula (r - prolog + 1)*64:
+    # ebb_cap can exceed the kernel's exact row count by one (cutoff a
+    # multiple of 64), and an np.empty tail row would otherwise leak
+    # uninitialised values into scores_by_k.
+    scores = ((np.arange(n_rows, dtype=np.int64) - prolog + 1) * 64)
     first = ctypes.c_int64()
     last = ctypes.c_int64()
     ebb = ctypes.c_int64()
@@ -221,6 +230,10 @@ def windowed_score(pattern_enc: np.ndarray, pattern_raw: bytes,
                    window_size: int, overlap_size: int,
                    hew_threshold: int):
     """Host-native WindowEd score bound. Returns (score, hew)."""
+    if window_size > 16:
+        raise ValueError(
+            f"native windowed kernel supports window_size <= 16 "
+            f"(got {window_size}); use the device/python path")
     lib = _load()
     p = np.ascontiguousarray(pattern_enc, dtype=np.uint8)
     t = np.ascontiguousarray(text_enc, dtype=np.uint8)
@@ -236,6 +249,10 @@ def windowed_full(pattern_enc: np.ndarray, pattern_raw: bytes,
                   text_enc: np.ndarray, text_raw: bytes,
                   window_size: int, overlap_size: int) -> str:
     """Host-native WindowEd full-CIGAR mode. Returns the op string."""
+    if window_size > 16:
+        raise ValueError(
+            f"native windowed kernel supports window_size <= 16 "
+            f"(got {window_size}); use the device/python path")
     lib = _load()
     p = np.ascontiguousarray(pattern_enc, dtype=np.uint8)
     t = np.ascontiguousarray(text_enc, dtype=np.uint8)

@@ -271,6 +271,13 @@ int64_t qh_banded_score(
      * [-prolog, nb_total + ebb + 1) */
     int64_t nb_total = qh_div_ceil(text_finish > 0 ? text_finish : 1, QH_W);
     int64_t n_rows = prolog + nb_total + ebb + 2;
+    /* the final-score read below indexes the pattern's last block row,
+     * which lies beyond the processed band when text_finish << plen
+     * (Hirschberg half-passes); cover it with init-valued rows — the
+     * model's scores.get(final_block, (final_block+1)*64) fallback */
+    int64_t fb = (plen % QH_W) ? plen / QH_W
+                               : (plen > 0 ? (plen - 1) / QH_W : 0);
+    if (n_rows < fb + prolog + 1) n_rows = fb + prolog + 1;
     int64_t *sc = (int64_t *)malloc((size_t)n_rows * sizeof(int64_t));
     for (int64_t r = 0; r < n_rows; r++)
         sc[r] = (r - prolog + 1) * QH_W;   /* init: (row+1)*64 */

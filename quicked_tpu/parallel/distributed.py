@@ -52,6 +52,17 @@ def distributed_align(input_path: str, output_path: str,
         process_index, process_count = maybe_initialize_distributed()
 
     shard_path = f"{output_path}.shard{process_index:05d}"
+    # stale-run hygiene: a leftover .done (e.g. from a previous run with
+    # a different process_count) would satisfy the merge barrier early
+    if os.path.exists(shard_path + ".done"):
+        os.remove(shard_path + ".done")
+    if process_index == 0:
+        # the coordinator also clears shards beyond this run's count so
+        # the merge can't pick up a wider previous run's leftovers
+        for stale in glob.glob(f"{output_path}.shard*"):
+            idx = stale[len(output_path) + len(".shard"):].split(".")[0]
+            if idx.isdigit() and int(idx) >= process_count:
+                os.remove(stale)
     n_local = 0
     with open(shard_path, "w") as out:
         batch, batch_ids = [], []
@@ -94,30 +105,50 @@ def _wait_for_shards(output_path: str, process_count: int,
     merges only after every process has marked its shard complete."""
     import time
 
+    expected = [f"{output_path}.shard{i:05d}.done"
+                for i in range(process_count)]
     deadline = time.time() + timeout_s
     while time.time() < deadline:
-        done = glob.glob(f"{output_path}.shard*.done")
-        if len(done) >= process_count:
+        n_done = sum(os.path.exists(p) for p in expected)
+        if n_done >= process_count:
             return
         time.sleep(0.5)
+    n_done = sum(os.path.exists(p) for p in expected)
     raise TimeoutError(
-        f"distributed merge: only {len(glob.glob(f'{output_path}.shard*.done'))}"
+        f"distributed merge: only {n_done}"
         f"/{process_count} shards completed within {timeout_s}s")
 
 
 def _merge_shards(output_path: str, process_count: int) -> None:
-    """Input-ordered merge of per-process shard files (k-way by id)."""
-    rows = []
-    for shard in sorted(glob.glob(f"{output_path}.shard*")):
-        if shard.endswith(".done"):
-            os.remove(shard)
-            continue
-        with open(shard) as f:
-            for line in f:
-                gid, rest = line.split("\t", 1)
-                rows.append((int(gid), rest))
-        os.remove(shard)
-    rows.sort()
+    """Input-ordered streaming k-way merge of per-process shard files.
+
+    Each shard is written in ascending global-id order (the strided
+    reader), so a heap over one head line per shard merges N shards in
+    O(total) time and O(process_count) memory — sized for the 10M-pair
+    distributed workload, where materialising all rows (scores + CIGARs)
+    in memory would not fit.
+    """
+    import heapq
+
+    shards = [f"{output_path}.shard{i:05d}" for i in range(process_count)]
+    files = [open(p) for p in shards]
+    heap = []
+    for fi, f in enumerate(files):
+        line = f.readline()
+        if line:
+            gid, rest = line.split("\t", 1)
+            heap.append((int(gid), fi, rest))
+    heapq.heapify(heap)
     with open(output_path, "w") as out:
-        for _, rest in rows:
+        while heap:
+            _, fi, rest = heapq.heappop(heap)
             out.write(rest)
+            line = files[fi].readline()
+            if line:
+                gid, rest = line.split("\t", 1)
+                heapq.heappush(heap, (int(gid), fi, rest))
+    for f, p in zip(files, shards):
+        f.close()
+        os.remove(p)
+        if os.path.exists(p + ".done"):
+            os.remove(p + ".done")

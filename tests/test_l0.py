@@ -40,6 +40,30 @@ def test_cigar_check():
     assert not Cigar(operations="MM").check_alignment("GAT", "GTT")
 
 
+def test_cigar_check_non_ascii():
+    # Distinct non-ASCII characters must not validate as M: the native
+    # fast path encodes ascii-with-replace (collapsing them to '?'), so
+    # non-ASCII input must take the true char-compare path.
+    c = Cigar(operations="M")
+    assert not c.check_alignment("é", "ü")
+    assert c.check_alignment("é", "é")
+
+
+def test_native_windowed_rejects_wide_window():
+    import pytest
+
+    from quicked_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    import numpy as np
+    e = np.zeros(4, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        native.windowed_score(e, b"AAAA", e, b"AAAA", 17, 1, 40)
+    with pytest.raises(ValueError):
+        native.windowed_full(e, b"AAAA", e, b"AAAA", 17, 1)
+
+
 def test_cigar_cmp():
     a = Cigar(operations="MMX")
     b = Cigar(operations="MMX")
