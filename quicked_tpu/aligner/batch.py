@@ -286,8 +286,17 @@ def align_batch_full(pairs, params: QuickedParams | None = None) -> BatchResult:
         res = hirschberg_batch(txts, pats, cos)
         for j, i in enumerate(live):
             st, ops = res[j]
-            st2, s, c = _finish(st, None, ops, False)
-            statuses[i], scores[i], cigars[i] = st2, s, c
+            if int(st) < 0:
+                # extract_results still runs on failure (quicked.c:
+                # 154-157): report the partial right-side CIGAR and its
+                # score alongside the error status
+                c = Cigar(operations=ops or "")
+                statuses[i] = st
+                scores[i] = c.score_edit()
+                cigars[i] = c.sprint(True) if ops else None
+            else:
+                st2, s, c = _finish(st, None, ops, False)
+                statuses[i], scores[i], cigars[i] = st2, s, c
         return BatchResult(statuses, scores, cigars)
 
     if algo == QuickedAlgo.QUICKED and params.use_kernels:

@@ -258,10 +258,11 @@ def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
     final_scores = np.full(n, -1, dtype=np.int64)
     cigars: list = [None] * n
     for i, (st, ops) in enumerate(res):
-        statuses[i] = st
-        if int(st) < 0 or ops is None:
-            continue
-        c = Cigar(operations=ops)
+        # run_quicked ignores the Hirschberg status and extracts whatever
+        # (possibly partial) CIGAR is in the shared buffer, returning WIP
+        # (quicked.c:290-305) — non-convergence is not an error here.
+        statuses[i] = QuickedStatus.QUICKED_OK
+        c = Cigar(operations=ops or "")
         final_scores[i] = c.score_edit()
-        cigars[i] = c.sprint(True)
+        cigars[i] = c.sprint(True) if ops else None
     return CascadeResult(status=statuses, score=final_scores, cigar=cigars)

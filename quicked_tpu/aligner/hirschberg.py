@@ -8,6 +8,14 @@ full banded kernel + traceback, splits run batched forward/reverse
 score-only passes, and midpoints are computed on host from the returned
 band state (myers_np.hirschberg_split). Leaf CIGARs are assembled
 left-to-right by their recursion path.
+
+Failure semantics match the reference's shared right-to-left output
+buffer (bpm_hirschberg.c:210-243): the recursion solves the RIGHT half
+before the left, so when a split fails with QUICKED_FAIL_NON_CONVERGENCE
+the buffer already holds every leaf to the right of the (DFS-first)
+failing node — and quicked.c extracts those partial results regardless
+of status (quicked.c:299, 154-157). The worklist reproduces this by
+continuing the right-of-failure subtree and discarding left-side leaves.
 """
 
 from __future__ import annotations
@@ -19,11 +27,18 @@ from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE, QuickedStatus
 def hirschberg_batch(texts, patterns, cutoffs):
     """Full alignment of each (text, pattern) under its score bound.
 
-    Returns list of (status, ops_str|None) in input order.
+    Returns list of (status, ops_str) in input order. On
+    QUICKED_FAIL_NON_CONVERGENCE, ops_str holds the partial right-side
+    alignment the reference would leave in its output buffer (possibly
+    empty).
     """
     n = len(texts)
     leaves: list[list] = [[] for _ in range(n)]
     status = [QuickedStatus.QUICKED_OK] * n
+    # Rightmost failing path per pair. The reference's DFS (right half
+    # first) aborts at the lexicographically greatest failing node; only
+    # leaves strictly right of it were written before the abort.
+    fail_path: dict[int, tuple] = {}
     # task: (pair, path, text, pattern, cutoff); path is the 0/1
     # left/right descent — leaves are prefix-free, so lexicographic path
     # order is left-to-right CIGAR order.
@@ -37,7 +52,8 @@ def hirschberg_batch(texts, patterns, cutoffs):
         base, split = [], []
         for t in tasks:
             i, path, text, pattern, cutoff = t
-            if status[i] != QuickedStatus.QUICKED_OK:
+            if i in fail_path and path < fail_path[i]:
+                # left of the failure: the reference never visits it
                 continue
             geo = myers_np.band_geometry(len(pattern), len(text), cutoff)
             if geo.ebb * len(text) * 8 * 2 <= HIRSCHBERG_BUFFER_SIZE:
@@ -70,6 +86,8 @@ def hirschberg_batch(texts, patterns, cutoffs):
                                                geo)
                 if sp is None:
                     status[i] = QuickedStatus.QUICKED_FAIL_NON_CONVERGENCE
+                    if path >= fail_path.get(i, path):
+                        fail_path[i] = path
                     continue
                 pll, score_l, score_r = sp
                 tasks.append((i, path + (0,), text[:mid], pattern[:pll],
@@ -80,7 +98,10 @@ def hirschberg_batch(texts, patterns, cutoffs):
     out = []
     for i in range(n):
         if status[i] != QuickedStatus.QUICKED_OK:
-            out.append((status[i], None))
+            fp = fail_path.get(i, ())
+            kept = [(p, op) for p, op in leaves[i] if p > fp]
+            out.append((status[i],
+                        "".join(op for _, op in sorted(kept))))
         else:
             ops = "".join(op for _, op in sorted(leaves[i]))
             out.append((QuickedStatus.QUICKED_OK, ops))

@@ -53,12 +53,20 @@ def _align_one_np(pattern: str, text: str, params: QuickedParams):
             window_size=params.window_size, overlap_size=params.overlap_size,
             hew_threshold=params.hew_threshold,
             hew_percentage=params.hew_percentage)
+        # run_quicked ignores the Hirschberg status and returns WIP
+        # (quicked.c:290-305); the partial CIGAR is extracted as usual
+        status = QuickedStatus.QUICKED_WIP
         score = None
     else:
         return QuickedStatus.QUICKED_UNKNOWN_ALGO, -1, None
 
     if check_error(status):
-        return status, -1, None
+        # extract_results still runs on failure (quicked.c:154-157,
+        # run_hirschberg): report the partial right-side CIGAR and its
+        # score alongside the error status
+        cigar = Cigar(operations=ops or "")
+        return status, cigar.score_edit(), (cigar.sprint(True) if ops
+                                            else None)
     # extract_results semantics (quicked.c:34-56): score from precomputed
     # value when only_score, else from the CIGAR.
     if params.only_score and ops is None:

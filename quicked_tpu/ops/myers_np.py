@@ -614,18 +614,29 @@ def hirschberg_split(fwd: BandedScoreResult, rev: BandedScoreResult,
         higher_cell_r = rev.lower_block * W + 63
     n_cells = higher_cell - bottom_cell + 2
 
+    # The scan can touch one block past the band top (n_cells spans
+    # [bottom_cell, higher_cell + 1]). When higher_block is the last
+    # band word, the C reference reads past its score-band array into
+    # allocator slack (undefined). Model it deterministically with
+    # bpm_reset_search values (Pv=ones, Mv=0) — which is also exactly
+    # what the batched kernels' padded band rows hold.
+    def _bit(words, block, cell, default):
+        if 0 <= block < len(words):
+            return (words[block] >> cell) & 1
+        return default
+
     cell_score = [0] * (n_cells + 1)
     for i in range(n_cells):
         block = (bottom_cell + i) // W
         cell = (bottom_cell + i) % W
         cell_score[i + 1] = cell_score[i] + \
-            ((fwd.Pv[block] >> cell) & 1) - ((fwd.Mv[block] >> cell) & 1)
+            _bit(fwd.Pv, block, cell, 1) - _bit(fwd.Mv, block, cell, 0)
     cell_score_r = [0] * (n_cells + 1)
     for i in range(n_cells):
         block = (higher_cell_r + i) // W
         cell = (higher_cell_r + i) % W
         cell_score_r[i + 1] = cell_score_r[i] + \
-            ((rev.Pv[block] >> cell) & 1) - ((rev.Mv[block] >> cell) & 1)
+            _bit(rev.Pv, block, cell, 1) - _bit(rev.Mv, block, cell, 0)
 
     smaller_pos = 0
     smaller = cell_score_r[n_cells - 1] + cell_score[0]
