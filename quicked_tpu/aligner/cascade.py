@@ -176,16 +176,103 @@ def windowed_full_batch(patterns, texts, window_size: int,
     return out
 
 
+# Pairs at or below this length run the whole cascade through the
+# one-call native batch lane even on accelerator platforms: tiny pairs
+# are dominated by per-batch dispatch latency on device, while the C
+# lane does stage 1 + full align in ~5 us/pair (pthread pool inside).
+NATIVE_CASCADE_MAX_LEN = 2048
+
+
 def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
                           timers=None) -> CascadeResult:
     """Run the QuickEd cascade on a batch of (pattern, text) pairs.
 
     `timers` (utils.profiler.PhaseTimers) mirrors the reference's
-    per-stage instrumentation (quicked.c:184-294)."""
+    per-stage instrumentation (quicked.c:184-294).
+
+    Routing: a native one-call batch lane (qh_quicked_batch: all four
+    stages in C, threads inside) serves every pair on CPU-only hosts and
+    the short pairs on accelerator hosts; the staged device-kernel lane
+    serves the rest. Native-lane pairs whose stage-4 footprint exceeds
+    the Hirschberg budget come back with their proven bound and finish
+    through the batched Hirschberg driver.
+    """
     params = params or QuickedParams()
     if timers is None:
         from quicked_tpu.utils.profiler import PhaseTimers
         timers = PhaseTimers()
+    n = len(pairs)
+
+    from quicked_tpu import native
+    import os as _os
+    fast_max = int(_os.environ.get("QUICKED_TPU_NATIVE_CASCADE_MAX_LEN",
+                                   NATIVE_CASCADE_MAX_LEN))
+    if native.available() and params.window_size <= 16:
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            fast = list(range(n))
+        else:
+            fast = [i for i in range(n)
+                    if max(len(pairs[i][0]), len(pairs[i][1])) <= fast_max]
+    else:
+        fast = []
+    if fast:
+        return _cascade_with_native_lane(pairs, params, timers, fast)
+    return _cascade_staged(pairs, params, timers)
+
+
+def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
+    from quicked_tpu import native
+    from quicked_tpu.aligner.hirschberg import hirschberg_batch
+    from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE
+
+    n = len(pairs)
+    fast_set = set(fast)
+    slow = [i for i in range(n) if i not in fast_set]
+
+    statuses: list = [None] * n
+    scores = np.full(n, -1, dtype=np.int64)
+    cigars: list = [None] * n
+
+    timers.total.start()
+    st, sc, rles = native.quicked_batch(
+        [pairs[i][0] for i in fast], [pairs[i][1] for i in fast],
+        bandwidth=params.bandwidth, window_size=params.window_size,
+        overlap_size=params.overlap_size,
+        hew_threshold=params.hew_threshold,
+        hew_percentage=params.hew_percentage,
+        budget=HIRSCHBERG_BUFFER_SIZE, rle=True)
+    deferred = []       # (input index, proven bound)
+    for j, i in enumerate(fast):
+        if st[j] == 0:
+            statuses[i] = QuickedStatus.QUICKED_OK
+            scores[i] = sc[j]
+            cigars[i] = rles[j] if rles[j] else None
+        else:
+            deferred.append((i, int(sc[j])))
+    if deferred:
+        res = hirschberg_batch([pairs[i][1] for i, _ in deferred],
+                               [pairs[i][0] for i, _ in deferred],
+                               [b for _, b in deferred])
+        for (i, _), (h_st, h_ops) in zip(deferred, res):
+            # run_quicked ignores the Hirschberg status (quicked.c:290-305)
+            statuses[i] = QuickedStatus.QUICKED_OK
+            c = Cigar(operations=h_ops or "")
+            scores[i] = c.score_edit()
+            cigars[i] = c.sprint(True) if h_ops else None
+    timers.total.stop()
+
+    if slow:
+        sub = _cascade_staged([pairs[i] for i in slow], params, timers)
+        for j, i in enumerate(slow):
+            statuses[i] = sub.status[j]
+            scores[i] = sub.score[j]
+            cigars[i] = sub.cigar[j]
+    return CascadeResult(status=statuses, score=scores, cigar=cigars)
+
+
+def _cascade_staged(pairs, params: QuickedParams, timers) -> CascadeResult:
+    """The staged batch-repartitioning cascade over the device kernels."""
     n = len(pairs)
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]

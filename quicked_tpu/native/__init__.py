@@ -32,7 +32,8 @@ def _build() -> bool:
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+                [cc, "-O3", "-shared", "-fPIC", "-pthread", "-o",
+                 _LIB_PATH, _SRC],
                 check=True, capture_output=True, timeout=120)
             return True
         except (subprocess.CalledProcessError, FileNotFoundError,
@@ -91,6 +92,15 @@ def _load():
         lib.qh_windowed_full.argtypes = [
             _u8p, _u8p, _i64, _u8p, _u8p, _i64, _i64, _i64,
             ctypes.c_char_p]
+        lib.qh_quicked_batch.restype = _i64
+        lib.qh_quicked_batch.argtypes = [
+            ctypes.c_char_p, _i64p, _i64p, _i64,
+            _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64,
+            _i64p, _i64p, ctypes.c_char_p, _i64p, _i64p]
+        lib.qh_cigar_sprint_batch.restype = _i64
+        lib.qh_cigar_sprint_batch.argtypes = [
+            ctypes.c_char_p, _i64p, _i64p, _i64, _i64,
+            ctypes.c_char_p, _i64p, _i64p]
         _lib = lib
         return _lib
 
@@ -262,6 +272,81 @@ def windowed_full(pattern_enc: np.ndarray, pattern_raw: bytes,
         t.ctypes.data_as(_u8p), _u8bytes(text_raw), len(t),
         window_size, overlap_size, ops)
     return ops.raw[:n].decode("ascii")
+
+
+def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
+                  overlap_size: int, hew_threshold, hew_percentage,
+                  budget: int, n_threads: int | None = None,
+                  rle: bool = False):
+    """Full QuickEd cascade over a batch in ONE native call (pthread
+    pool inside, zero per-pair Python overhead) — the host fast lane for
+    short pairs and CPU-only platforms.
+
+    Returns (status int64 array, scores int64 array, ops list).
+    status 0: fully aligned in C (ops = op string, score = edit score);
+    status 1: band footprint exceeded the Hirschberg budget — score
+    holds the proven bound for the batched Hirschberg driver.
+    """
+    lib = _load()
+    n = len(patterns)
+    if n_threads is None:
+        n_threads = int(os.environ.get("QUICKED_TPU_CPU_THREADS",
+                                       os.cpu_count() or 1))
+    enc = []
+    for i in range(n):
+        p, t = patterns[i], texts[i]
+        pb = p.encode("ascii", "replace") if isinstance(p, str) else \
+            np.asarray(p, dtype=np.uint8).tobytes()
+        tb = t.encode("ascii", "replace") if isinstance(t, str) else \
+            np.asarray(t, dtype=np.uint8).tobytes()
+        enc.append((pb, tb))
+    lengths = np.empty(2 * n, dtype=np.int64)
+    lengths[0::2] = [len(pb) for pb, _ in enc]
+    lengths[1::2] = [len(tb) for _, tb in enc]
+    offsets = np.zeros(2 * n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    buf = b"".join(b for pair in enc for b in pair)
+    pair_caps = lengths[0::2] + lengths[1::2]
+    ops_off = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        np.cumsum(pair_caps[:-1], out=ops_off[1:])
+    total_cap = int(pair_caps.sum())
+    ops_buf = ctypes.create_string_buffer(max(total_cap, 1))
+    scores = np.zeros(n, dtype=np.int64)
+    status = np.zeros(n, dtype=np.int64)
+    ops_len = np.zeros(n, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    def arr(a):
+        return a.ctypes.data_as(i64p)
+
+    lib.qh_quicked_batch(
+        buf, arr(offsets), arr(lengths), n,
+        bandwidth, window_size, overlap_size,
+        hew_threshold[0], hew_threshold[1],
+        hew_percentage[0], hew_percentage[1],
+        budget, n_threads,
+        arr(scores), arr(status), ops_buf, arr(ops_off), arr(ops_len))
+    if rle:
+        # one more C pass: RLE-print every CIGAR into a second buffer
+        out_caps = 3 * pair_caps + 16
+        out_off = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(out_caps[:-1], out=out_off[1:])
+        out_buf = ctypes.create_string_buffer(max(int(out_caps.sum()), 1))
+        out_len = np.zeros(n, dtype=np.int64)
+        lib.qh_cigar_sprint_batch(ops_buf, arr(ops_off), arr(ops_len), n,
+                                  1, out_buf, arr(out_off), arr(out_len))
+        raw = out_buf.raw
+        ops = [raw[int(out_off[i]):int(out_off[i]) + int(out_len[i])]
+               .decode("ascii") if status[i] == 0 else None
+               for i in range(n)]
+        return status, scores, ops
+    raw = ops_buf.raw
+    ops = [raw[int(ops_off[i]):int(ops_off[i]) + int(ops_len[i])]
+           .decode("ascii") if status[i] == 0 else None
+           for i in range(n)]
+    return status, scores, ops
 
 
 def read_seq_batch(data: bytes, max_pairs: int):

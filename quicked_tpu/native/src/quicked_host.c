@@ -823,3 +823,236 @@ void qh_window_backtrace(
     }
     *pv = v; *ph = h; *pn = n;
 }
+
+/* ------------------------------------------- batched QuickEd cascade */
+
+/*
+ * Full bound-and-align cascade for one pair (run_quicked semantics,
+ * quicked.c:163-306), composed from the per-stage kernels above:
+ *
+ *   stage 1: WindowEd(ws=2, ovl=1) score bound        (quicked.c:184-199)
+ *   stage 2: WindowEd(ws, ovl) forward + reversed-pair (quicked.c:204-235)
+ *   stage 3: BandEd score-only, telescoping retry      (quicked.c:237-276)
+ *   stage 4: full alignment under the proven bound     (quicked.c:290)
+ *
+ * Stage 4 runs the direct banded fill when the band footprint fits the
+ * Hirschberg budget (bpm_hirschberg.c:63-65); larger problems return
+ * *status_out = 1 with the proven bound in *score_out so the (batched,
+ * device-kernel) Hirschberg driver can finish them.
+ */
+static void qh_quicked_one(
+    const uint8_t *p_raw, int64_t plen, const uint8_t *t_raw, int64_t tlen,
+    int64_t bandwidth, int64_t ws, int64_t ovl,
+    int64_t thr0, int64_t thr1, int64_t pct0, int64_t pct1,
+    int64_t budget,
+    int64_t *score_out, int64_t *status_out,
+    char *ops_out, int64_t *ops_n_out) {
+    const int64_t max_len = plen > tlen ? plen : tlen;
+    uint8_t *pe = (uint8_t *)malloc((size_t)(plen > 0 ? plen : 1));
+    uint8_t *te = (uint8_t *)malloc((size_t)(tlen > 0 ? tlen : 1));
+    *ops_n_out = 0;
+    if (!pe || !te) { free(pe); free(te); *status_out = 1; *score_out = max_len; return; }
+    qh_encode_dna(p_raw, plen, pe);
+    qh_encode_dna(t_raw, tlen, te);
+
+    int64_t hew = 0;
+    int64_t score = qh_windowed_score(pe, p_raw, plen, te, t_raw, tlen,
+                                      2, 1, thr0, &hew);
+    if (hew * 64 > max_len * pct0 / 100) {
+        /* stage 2: large windows, forward + reversed pair */
+        uint8_t *pr = (uint8_t *)malloc((size_t)(plen > 0 ? plen : 1));
+        uint8_t *tr = (uint8_t *)malloc((size_t)(tlen > 0 ? tlen : 1));
+        uint8_t *per = (uint8_t *)malloc((size_t)(plen > 0 ? plen : 1));
+        uint8_t *ter = (uint8_t *)malloc((size_t)(tlen > 0 ? tlen : 1));
+        if (!pr || !tr || !per || !ter) {
+            free(pr); free(tr); free(per); free(ter); free(pe); free(te);
+            *status_out = 1; *score_out = max_len; return;
+        }
+        for (int64_t i = 0; i < plen; i++) {
+            pr[i] = p_raw[plen - 1 - i];
+            per[i] = pe[plen - 1 - i];
+        }
+        for (int64_t i = 0; i < tlen; i++) {
+            tr[i] = t_raw[tlen - 1 - i];
+            ter[i] = te[tlen - 1 - i];
+        }
+        int64_t hew_f = 0, hew_r = 0;
+        int64_t s_f = qh_windowed_score(pe, p_raw, plen, te, t_raw, tlen,
+                                        ws, ovl, thr1, &hew_f);
+        int64_t s_r = qh_windowed_score(per, pr, plen, ter, tr, tlen,
+                                        ws, ovl, thr1, &hew_r);
+        score = s_f < s_r ? s_f : s_r;
+        int64_t hw = hew_f;
+        if (score >= s_r) hw = hew_r;
+        free(pr); free(tr); free(per); free(ter);
+        if (hw * 64 * (ws - ovl) > max_len * pct1 / 100) {
+            /* stage 3: banded score-only + telescoping retry */
+            int64_t cut = max_len * bandwidth / 100;
+            if (score < cut) cut = score;
+            int64_t ns = qh_banded_score(pe, plen, te, tlen, tlen, cut,
+                                         NULL, NULL, NULL, NULL, NULL, NULL);
+            while ((ns > max_len / 4 && cut * 3 / 2 < ns) || ns < 0) {
+                cut *= 2;
+                ns = qh_banded_score(pe, plen, te, tlen, tlen, cut,
+                                     NULL, NULL, NULL, NULL, NULL, NULL);
+            }
+            score = ns;
+        }
+    }
+
+    /* stage 4: footprint test (allocate-variant band geometry) */
+    {
+        int64_t k_end = (tlen > plen ? tlen - plen : plen - tlen) + 1;
+        int64_t cutoff = k_end > score ? k_end : score;
+        if (cutoff < 65) cutoff = 65;
+        int64_t diff = plen - tlen;
+        int64_t adiff = diff < 0 ? -diff : diff;
+        int64_t rel = qh_div_ceil(cutoff - adiff, 2);
+        int64_t ebb;
+        if (diff >= 0)
+            ebb = qh_div_ceil(rel + diff, QH_W) + 1 + qh_div_ceil(rel, QH_W);
+        else
+            ebb = qh_div_ceil(rel, QH_W) + 1 + qh_div_ceil(rel - diff, QH_W);
+        if (ebb * tlen * 8 * 2 > budget) {
+            *status_out = 1;       /* needs the Hirschberg driver */
+            *score_out = score;    /* the proven bound */
+            free(pe); free(te);
+            return;
+        }
+    }
+    int64_t sc4 = 0;
+    int64_t n = qh_banded_align_full(pe, p_raw, plen, te, t_raw, tlen,
+                                     score, ops_out, &sc4);
+    free(pe); free(te);
+    if (n < 0) {   /* scratch allocation failed: defer to the driver */
+        *status_out = 1;
+        *score_out = score;
+        return;
+    }
+    /* extract_results: score from the CIGAR (cigar_score_edit) */
+    int64_t edit = 0;
+    for (int64_t i = 0; i < n; i++) edit += (ops_out[i] != 'M');
+    *ops_n_out = n;
+    *score_out = edit;
+    *status_out = 0;
+}
+
+#include <pthread.h>
+
+typedef struct {
+    const char *buf;
+    const int64_t *offsets;   /* 2*n line offsets into buf */
+    const int64_t *lengths;   /* 2*n line lengths */
+    int64_t n_pairs;
+    int64_t bandwidth, ws, ovl, thr0, thr1, pct0, pct1, budget;
+    int64_t *scores;
+    int64_t *status;
+    char *ops;
+    const int64_t *ops_off;   /* per-pair offsets into ops */
+    int64_t *ops_len;
+    volatile int64_t next;
+    pthread_mutex_t lock;
+} qh_batch_ctx_t;
+
+static void *qh_batch_worker(void *arg) {
+    qh_batch_ctx_t *ctx = (qh_batch_ctx_t *)arg;
+    for (;;) {
+        pthread_mutex_lock(&ctx->lock);
+        int64_t i = ctx->next++;
+        pthread_mutex_unlock(&ctx->lock);
+        if (i >= ctx->n_pairs) break;
+        const uint8_t *p = (const uint8_t *)ctx->buf + ctx->offsets[2 * i];
+        const uint8_t *t = (const uint8_t *)ctx->buf + ctx->offsets[2 * i + 1];
+        qh_quicked_one(p, ctx->lengths[2 * i], t, ctx->lengths[2 * i + 1],
+                       ctx->bandwidth, ctx->ws, ctx->ovl,
+                       ctx->thr0, ctx->thr1, ctx->pct0, ctx->pct1,
+                       ctx->budget,
+                       &ctx->scores[i], &ctx->status[i],
+                       ctx->ops + ctx->ops_off[i], &ctx->ops_len[i]);
+    }
+    return NULL;
+}
+
+/*
+ * Batched cascade over n_pairs (the OpenMP batch loop of the reference
+ * benchmark, align_benchmark.c:232-306, fused with run_quicked): one
+ * call per batch, pthread pool inside, zero per-pair Python overhead.
+ * Returns the number of pairs fully aligned in C (status 0).
+ */
+int64_t qh_quicked_batch(
+    const char *buf, const int64_t *offsets, const int64_t *lengths,
+    int64_t n_pairs,
+    int64_t bandwidth, int64_t window_size, int64_t overlap_size,
+    int64_t hew_thr0, int64_t hew_thr1, int64_t hew_pct0, int64_t hew_pct1,
+    int64_t budget, int64_t n_threads,
+    int64_t *scores_out, int64_t *status_out,
+    char *ops_out, const int64_t *ops_offsets, int64_t *ops_len_out) {
+    qh_batch_ctx_t ctx;
+    ctx.buf = buf; ctx.offsets = offsets; ctx.lengths = lengths;
+    ctx.n_pairs = n_pairs;
+    ctx.bandwidth = bandwidth; ctx.ws = window_size; ctx.ovl = overlap_size;
+    ctx.thr0 = hew_thr0; ctx.thr1 = hew_thr1;
+    ctx.pct0 = hew_pct0; ctx.pct1 = hew_pct1;
+    ctx.budget = budget;
+    ctx.scores = scores_out; ctx.status = status_out;
+    ctx.ops = ops_out; ctx.ops_off = ops_offsets; ctx.ops_len = ops_len_out;
+    ctx.next = 0;
+    pthread_mutex_init(&ctx.lock, NULL);
+
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > n_pairs) n_threads = n_pairs > 0 ? n_pairs : 1;
+    if (n_threads == 1) {
+        qh_batch_worker(&ctx);
+    } else {
+        pthread_t tids[64];
+        int64_t spawned = 0;
+        for (int64_t k = 0; k < n_threads; k++) {
+            if (pthread_create(&tids[k], NULL, qh_batch_worker, &ctx) != 0)
+                break;
+            spawned++;
+        }
+        if (spawned == 0) qh_batch_worker(&ctx);
+        for (int64_t k = 0; k < spawned; k++)
+            pthread_join(tids[k], NULL);
+    }
+    pthread_mutex_destroy(&ctx.lock);
+    int64_t done = 0;
+    for (int64_t i = 0; i < n_pairs; i++) done += (status_out[i] == 0);
+    return done;
+}
+
+/*
+ * Batched RLE CIGAR printing (cigar_sprint, cigar.c:453-488) over the
+ * packed per-pair op strings a batch call produced: one ctypes call for
+ * the whole batch. out capacity per pair: 3*len + 16.
+ */
+int64_t qh_cigar_sprint_batch(
+    const char *ops, const int64_t *off, const int64_t *len, int64_t n,
+    int64_t print_matches,
+    char *out, const int64_t *out_off, int64_t *out_len) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const char *o = ops + off[i];
+        char *w0 = out + out_off[i], *w = w0;
+        int64_t m = len[i];
+        int64_t j = 0;
+        while (j < m) {
+            char c = o[j];
+            int64_t run = 1;
+            while (j + run < m && o[j + run] == c) run++;
+            if (print_matches || c != 'M') {
+                /* write run count then op char */
+                char tmp[24];
+                int64_t k = 0, r = run;
+                do { tmp[k++] = (char)('0' + (r % 10)); r /= 10; } while (r);
+                while (k) *w++ = tmp[--k];
+                *w++ = c;
+            }
+            j += run;
+        }
+        out_len[i] = (int64_t)(w - w0);
+        total += out_len[i];
+    }
+    return total;
+}
