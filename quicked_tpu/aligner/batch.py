@@ -101,24 +101,59 @@ def _run_banded_auto(batch):
     return run_banded(batch)
 
 
+def _traceback_tiled(mats_tiled, lanes, batch, sub, patterns, texts):
+    """Host traceback over the Pallas full kernel's lane-tiled
+    (P, T, EBB8, LANES) planes, threaded across pairs."""
+    from quicked_tpu import native
+    from quicked_tpu.utils.host_threads import map_lanes
+
+    pv_lo_t, pv_hi_t, mv_lo_t, mv_hi_t = mats_tiled
+    ops: list = [None] * len(sub)
+    praws = [_raw_bytes(patterns[i]).tobytes() for i in sub]
+    traws = [_raw_bytes(texts[i]).tobytes() for i in sub]
+
+    def one(j):
+        p, r = j // lanes, j % lanes
+        ops[j] = native.traceback_banded(
+            pv_lo_t[p], pv_hi_t[p], mv_lo_t[p], mv_hi_t[p],
+            r, praws[j], traws[j], int(batch.prolog[j]))
+
+    map_lanes(one, len(sub))
+    return ops
+
+
 def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                        min_lanes: int = 8):
     """BANDED algorithm over a batch, through the device kernels.
 
     Returns (scores int64 array, ops list of str|None). Semantics:
     run_banded driver (quicked.c:58-89) per pair, batched.
+
+    Full (traceback) fills run on-device through the Pallas full-matrix
+    kernel on TPU hosts (banded_pallas, FULL=True) with the threaded
+    host C traceback over the streamed band planes; CPU-only hosts use
+    the per-pair C fill+traceback.
     """
     n = len(patterns)
+    device_full = False
     if not only_score:
-        # Full fills route to the host C kernel on every platform when
-        # available: the stored band planes (~16 MB/pair at the
-        # Hirschberg budget) make the device path transfer-bound, while
-        # the C fill+traceback is ~ms per base case.
+        import jax
+
         from quicked_tpu.ops.banded_native import (
             native_available,
             run_banded_full_native,
         )
-        if native_available():
+        import os
+
+        from quicked_tpu.ops.banded_pallas import pallas_available
+        # QUICKED_TPU_FULL_DEVICE=0 opts out (e.g. on high-latency
+        # dev tunnels where the plane transfer dominates)
+        if pallas_available() and native_available() and \
+                os.environ.get("QUICKED_TPU_FULL_DEVICE", "1") != "0":
+            device_full = True
+        elif native_available():
+            # no accelerator: the per-pair C fill+traceback is the
+            # fastest host path
             return run_banded_full_native(patterns, texts, cutoffs)
     scores = np.zeros(n, dtype=np.int64)
     ops_out: list = [None] * n
@@ -145,18 +180,26 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             batch = prepare_banded_batch(
                 pats, txts, cos, full=not only_score,
                 pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
-            out = _run_banded_auto(batch)
+            if device_full:
+                from quicked_tpu.ops.banded_pallas import run_banded_pallas
+                out = run_banded_pallas(batch)
+            else:
+                out = _run_banded_auto(batch)
             sc = extract_final_scores(batch, out["scores_by_k"])
             for j, i in enumerate(sub):
                 scores[i] = sc[j]
             if not only_score:
-                ops = banded_traceback_batch(
-                    out["mat_pv_lo"], out["mat_pv_hi"],
-                    out["mat_mv_lo"], out["mat_mv_hi"],
-                    list(range(len(sub))),
-                    [_raw_bytes(patterns[i]).tobytes() for i in sub],
-                    [_raw_bytes(texts[i]).tobytes() for i in sub],
-                    [int(batch.prolog[j]) for j in range(len(sub))])
+                if "mats_tiled" in out:
+                    ops = _traceback_tiled(out["mats_tiled"], out["lanes"],
+                                           batch, sub, patterns, texts)
+                else:
+                    ops = banded_traceback_batch(
+                        out["mat_pv_lo"], out["mat_pv_hi"],
+                        out["mat_mv_lo"], out["mat_mv_hi"],
+                        list(range(len(sub))),
+                        [_raw_bytes(patterns[i]).tobytes() for i in sub],
+                        [_raw_bytes(texts[i]).tobytes() for i in sub],
+                        [int(batch.prolog[j]) for j in range(len(sub))])
                 for j, i in enumerate(sub):
                     ops_out[i] = ops[j]
     return scores, ops_out

@@ -1,8 +1,9 @@
-"""Pallas TPU kernel: batched BandEd score-only (pairs-as-lanes).
+"""Pallas TPU kernels: batched BandEd score-only and full-matrix
+(traceback) variants, pairs-as-lanes.
 
-The Mosaic fast path for the sequential banded kernel
-(banded_jax.banded_scan_impl, full=False). Same dataflow, same
-arithmetic, bit-exact outputs; the Pallas advantages over the XLA scan:
+The Mosaic fast paths for the sequential banded kernels
+(banded_jax.banded_scan_impl). Same dataflow, same arithmetic, bit-exact
+outputs; the Pallas advantages over the XLA scan:
 
   - the band state (Pv/Mv/scores window/first/last) lives in VMEM
     scratch across the whole text sweep — no carried-scan shuffling;
@@ -11,14 +12,23 @@ arithmetic, bit-exact outputs; the Pallas advantages over the XLA scan:
   - the per-column block loop runs with *dynamic bounds*
     [min(first), max(last)] over the lane tile — dead band rows are
     skipped entirely (the C reference's first_block_v..last_block_v
-    loop, bpm_banded.c:830-886), which a static-shape XLA scan cannot do.
+    loop, bpm_banded.c:830-886), which a static-shape XLA scan cannot do;
+  - (full variant) per-column band snapshots stream straight from VMEM
+    to the HBM traceback planes in double-buffered 8-column chunks,
+    mirroring bpm_compute_matrix_banded_cutoff's stored columns
+    (bpm_banded.c:199-316) — the traceback itself is the host C walk
+    (native.traceback_banded) over the (T, EBB, LANES) planes.
 
 Grid: (pair_tiles, NB) with NB innermost — each pair tile's state
 persists in scratch across its NB text blocks. Lane tile = 1024 pairs
-(8 sublanes x 128 lanes of u32).
+for score (8 sublanes x 128 lanes of u32), 256 for full (the HBM planes
+are NB*64 x EBB x LANES per tile; smaller tiles bound the padding
+waste when the per-lane footprint approaches the Hirschberg budget).
 
 Reuses banded_jax._maintenance (pure jnp) for the per-64-column band
-cut/shift so the two kernels cannot drift.
+cut/shift so the kernels cannot drift. The stored 64th column of each
+block reflects the post-maintenance state, exactly like the reference
+(bpm_banded.c:279-287 operate on the stored column).
 """
 
 from __future__ import annotations
@@ -36,20 +46,32 @@ from quicked_tpu.ops.banded_jax import _maintenance
 from quicked_tpu.ops.batch_prep import BandedBatch
 
 W = 64
+CH = 8        # snapshot chunk: columns per output DMA (full variant)
 U32 = jnp.uint32
 I32 = jnp.int32
-LANES = 1024  # pairs per tile: 8 sublanes x 128 lanes
+LANES = 1024       # score-variant pairs per tile
+LANES_FULL = 256   # full-variant pairs per tile
 ALPH = 8      # alphabet axis padded 5 -> 8 (Mosaic sublane tiling)
 
 
 def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
             text_ref, init_ref, cutoff_ref, prolog_ref, nbr_ref,
             finishv_ref, tfinish_ref, first0_ref, last0_ref,  # VMEM in
-            scores_out, pv_lo_out, pv_hi_out, mv_lo_out, mv_hi_out,
-            first_out, last_out,                              # VMEM out
-            pv_lo, pv_hi, mv_lo, mv_hi, scw, fl,              # scratch
-            peq_win_lo, peq_win_hi, lm_win_lo, lm_win_hi, sems,
-            *, EBB: int, NB: int, K: int):
+            *refs,
+            EBB: int, NB: int, K: int, LANES: int, FULL: bool):
+    if FULL:
+        (scores_out, pv_lo_out, pv_hi_out, mv_lo_out, mv_hi_out,
+         first_out, last_out,
+         mat_pv_lo, mat_pv_hi, mat_mv_lo, mat_mv_hi,     # ANY (HBM) out
+         pv_lo, pv_hi, mv_lo, mv_hi, scw, fl,
+         peq_win_lo, peq_win_hi, lm_win_lo, lm_win_hi, sems,
+         snap_pv_lo, snap_pv_hi, snap_mv_lo, snap_mv_hi,
+         snap_sems) = refs
+    else:
+        (scores_out, pv_lo_out, pv_hi_out, mv_lo_out, mv_hi_out,
+         first_out, last_out,
+         pv_lo, pv_hi, mv_lo, mv_hi, scw, fl,
+         peq_win_lo, peq_win_hi, lm_win_lo, lm_win_hi, sems) = refs
     p = pl.program_id(0)
     nb = pl.program_id(1)
 
@@ -91,7 +113,19 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
     blk_lo = jnp.min(first)
     blk_hi = jnp.max(last)
 
-    def col_body(j, _):
+    if FULL:
+        snaps = (snap_pv_lo, snap_pv_hi, snap_mv_lo, snap_mv_hi)
+        mats = (mat_pv_lo, mat_pv_hi, mat_mv_lo, mat_mv_hi)
+
+        def _snap_copies(slot, ch):
+            row0 = pl.multiple_of(nb * W + ch * CH, 8)
+            return [pltpu.make_async_copy(
+                        s.at[slot], m.at[p, pl.ds(row0, CH)],
+                        snap_sems.at[slot, q])
+                    for q, (s, m) in enumerate(zip(snaps, mats))]
+
+    def advance_col(j):
+        """Advance one text column j (0..63) over the live band."""
         c = text_ref[0, j, :]
         t_global = nb * W + j
         col_act = t_global < tfinish
@@ -127,9 +161,43 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
         jax.lax.fori_loop(blk_lo, blk_hi + 1, blk_body,
                           (jnp.ones((LANES,), U32),
                            jnp.zeros((LANES,), U32)))
-        return 0
 
-    jax.lax.fori_loop(0, W, col_body, 0)
+    if not FULL:
+        jax.lax.fori_loop(0, W, lambda j, _: (advance_col(j), 0)[1], 0)
+    else:
+        # chunked sweep with snapshot streaming; column 63's snapshot is
+        # written after band maintenance (the reference shifts the
+        # stored column in place, bpm_banded.c:279-287)
+        def chunk_body(ch, _):
+            slot = ch % 2
+
+            @pl.when(ch >= 2)
+            def _reclaim():
+                # the DMA that used this slot two chunks ago
+                for cp in _snap_copies(slot, ch - 2):
+                    cp.wait()
+
+            def col_body(jj, _):
+                j = ch * CH + jj
+                advance_col(j)
+
+                @pl.when(j < W - 1)
+                def _store():
+                    snap_pv_lo[slot, jj] = pv_lo[:]
+                    snap_pv_hi[slot, jj] = pv_hi[:]
+                    snap_mv_lo[slot, jj] = mv_lo[:]
+                    snap_mv_hi[slot, jj] = mv_hi[:]
+                return 0
+
+            jax.lax.fori_loop(0, CH, col_body, 0)
+
+            @pl.when(ch < (W // CH) - 1)
+            def _flush():
+                for cp in _snap_copies(slot, ch):
+                    cp.start()
+            return 0
+
+        jax.lax.fori_loop(0, W // CH, chunk_body, 0)
 
     # band maintenance (shared jnp implementation, banded_jax.py)
     pvs = (pv_lo[:], pv_hi[:])
@@ -149,7 +217,7 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
                     finishv_ref[0, 0], tfinish)
     pvs, mvs, scw_v, first_n, last_n = _maintenance(
         pvs, mvs, scw_v, first, last, captures, nb, batch_consts, EBB,
-        full_variant=False)
+        full_variant=FULL)
     # dropped row + scores-window roll
     scores_out[0, nb, :] = scw_v[0]
     new_k = nb + 1 + EBB
@@ -159,6 +227,21 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
     mv_lo[:], mv_hi[:] = mvs
     fl[0, :] = first_n
     fl[1, :] = last_n
+
+    if FULL:
+        # column 63's stored state = post-maintenance band
+        last_ch = W // CH - 1
+        snap_pv_lo[last_ch % 2, CH - 1] = pv_lo[:]
+        snap_pv_hi[last_ch % 2, CH - 1] = pv_hi[:]
+        snap_mv_lo[last_ch % 2, CH - 1] = mv_lo[:]
+        snap_mv_hi[last_ch % 2, CH - 1] = mv_hi[:]
+        for cp in _snap_copies(last_ch % 2, last_ch):
+            cp.start()
+        # drain both slots before the next grid step reuses them
+        for cp in _snap_copies((last_ch - 1) % 2, last_ch - 1):
+            cp.wait()
+        for cp in _snap_copies(last_ch % 2, last_ch):
+            cp.wait()
 
     @pl.when(nb == NB - 1)
     def _finish():
@@ -171,10 +254,12 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
         last_out[0, 0] = fl[1, :]
 
 
-@partial(jax.jit, static_argnames=("EBB", "NB", "K", "interpret"))
+@partial(jax.jit,
+         static_argnames=("EBB", "NB", "K", "LANES", "FULL", "interpret"))
 def _pallas_banded(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
                    cutoff, prolog, nbr, finish_v, tfinish, first0, last0,
-                   *, EBB: int, NB: int, K: int, interpret: bool = False):
+                   *, EBB: int, NB: int, K: int, LANES: int,
+                   FULL: bool = False, interpret: bool = False):
     P = text.shape[0]
     grid = (P, NB)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -182,7 +267,7 @@ def _pallas_banded(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
     # dims equal the array's (Mosaic block-shape divisibility rule)
     lanevec = pl.BlockSpec((1, 1, LANES), lambda p, nb: (p, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_shapes = (
+    out_shapes = [
         jax.ShapeDtypeStruct((P, K + 1, LANES), jnp.int32),   # scores
         jax.ShapeDtypeStruct((P, EBB, LANES), jnp.uint32),    # pv_lo
         jax.ShapeDtypeStruct((P, EBB, LANES), jnp.uint32),
@@ -190,8 +275,8 @@ def _pallas_banded(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
         jax.ShapeDtypeStruct((P, EBB, LANES), jnp.uint32),
         jax.ShapeDtypeStruct((P, 1, LANES), jnp.int32),       # first
         jax.ShapeDtypeStruct((P, 1, LANES), jnp.int32),       # last
-    )
-    out_specs = (
+    ]
+    out_specs = [
         pl.BlockSpec((1, K + 1, LANES), lambda p, nb: (p, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, EBB, LANES), lambda p, nb: (p, 0, 0),
@@ -204,9 +289,34 @@ def _pallas_banded(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
                      memory_space=pltpu.VMEM),
         lanevec,
         lanevec,
-    )
+    ]
+    scratch = [
+        pltpu.VMEM((EBB, LANES), jnp.uint32),   # pv_lo
+        pltpu.VMEM((EBB, LANES), jnp.uint32),
+        pltpu.VMEM((EBB, LANES), jnp.uint32),
+        pltpu.VMEM((EBB, LANES), jnp.uint32),
+        pltpu.VMEM((EBB + 1, LANES), jnp.int32),  # scw
+        pltpu.VMEM((2, LANES), jnp.int32),        # first/last
+        pltpu.VMEM((EBB + 8, ALPH, LANES), jnp.uint32),  # peq window
+        pltpu.VMEM((EBB + 8, ALPH, LANES), jnp.uint32),
+        pltpu.VMEM((EBB + 8, LANES), jnp.uint32),     # lm window
+        pltpu.VMEM((EBB + 8, LANES), jnp.uint32),
+        pltpu.SemaphoreType.DMA((4,)),
+    ]
+    if FULL:
+        T = NB * W
+        out_shapes += [
+            jax.ShapeDtypeStruct((P, T, EBB, LANES), jnp.uint32)
+            for _ in range(4)
+        ]
+        out_specs += [hbm] * 4
+        scratch += [
+            pltpu.VMEM((2, CH, EBB, LANES), jnp.uint32)  # snapshot slots
+            for _ in range(4)
+        ]
+        scratch += [pltpu.SemaphoreType.DMA((2, 4))]
     return pl.pallas_call(
-        partial(_kernel, EBB=EBB, NB=NB, K=K),
+        partial(_kernel, EBB=EBB, NB=NB, K=K, LANES=LANES, FULL=FULL),
         grid=grid,
         interpret=interpret,
         in_specs=[
@@ -218,38 +328,26 @@ def _pallas_banded(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
             lanevec, lanevec, lanevec, lanevec, lanevec,       # consts
             lanevec, lanevec,                                  # first0/last0
         ],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((EBB, LANES), jnp.uint32),   # pv_lo
-            pltpu.VMEM((EBB, LANES), jnp.uint32),
-            pltpu.VMEM((EBB, LANES), jnp.uint32),
-            pltpu.VMEM((EBB, LANES), jnp.uint32),
-            pltpu.VMEM((EBB + 1, LANES), jnp.int32),  # scw
-            pltpu.VMEM((2, LANES), jnp.int32),        # first/last
-            pltpu.VMEM((EBB + 8, ALPH, LANES), jnp.uint32),  # peq window
-            pltpu.VMEM((EBB + 8, ALPH, LANES), jnp.uint32),
-            pltpu.VMEM((EBB + 8, LANES), jnp.uint32),     # lm window
-            pltpu.VMEM((EBB + 8, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
     )(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores, cutoff, prolog,
       nbr, finish_v, tfinish, first0, last0)
 
 
-def _tile_lanes(a: np.ndarray) -> np.ndarray:
-    """(..., B) -> (P, ..., LANES): lanes pre-tiled for the grid."""
+def _tile_lanes(a: np.ndarray, lanes: int) -> np.ndarray:
+    """(..., B) -> (P, ..., lanes): lanes pre-tiled for the grid."""
     B = a.shape[-1]
-    P = B // LANES
-    moved = np.moveaxis(a.reshape(a.shape[:-1] + (P, LANES)), -2, 0)
+    P = B // lanes
+    moved = np.moveaxis(a.reshape(a.shape[:-1] + (P, lanes)), -2, 0)
     return np.ascontiguousarray(moved)
 
 
 def _untile_lanes(a: np.ndarray) -> np.ndarray:
-    """(P, ..., LANES) -> (..., B)."""
+    """(P, ..., lanes) -> (..., B)."""
     moved = np.moveaxis(a, 0, -2)
     return np.ascontiguousarray(
-        moved.reshape(moved.shape[:-2] + (moved.shape[-2] * LANES,)))
+        moved.reshape(moved.shape[:-2] + (moved.shape[-2] * moved.shape[-1],)))
 
 
 def pallas_available() -> bool:
@@ -258,14 +356,14 @@ def pallas_available() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def stage_batch(batch: BandedBatch):
+def stage_batch(batch: BandedBatch, lanes: int | None = None):
     """Host prep + device transfer for the Pallas kernel: returns
     (device_args dict, statics dict). Staging once lets callers time or
     repeat kernel executions without re-uploading (the production
     pipeline streams batches; bench.py times compute only)."""
-    assert not batch.full, "pallas kernel is score-only"
+    if lanes is None:
+        lanes = LANES_FULL if batch.full else LANES
     B = batch.B
-    pad = (-B) % LANES
     # Mosaic DMA slices must be 8-row aligned: round the band window up
     # and extend the shifted-frame arrays accordingly (the extra rows are
     # never live — per-lane last0 < EBB — and the scores window extension
@@ -276,7 +374,7 @@ def stage_batch(batch: BandedBatch):
     extra = EBB8 - EBB
 
     def padded(a, fill=0):
-        need = LANES * (-(-max(B, 1) // LANES)) - a.shape[-1]
+        need = lanes * (-(-max(B, 1) // lanes)) - a.shape[-1]
         if need <= 0:
             return a
         widths = [(0, 0)] * (a.ndim - 1) + [(0, need)]
@@ -303,7 +401,7 @@ def stage_batch(batch: BandedBatch):
     args_2d = {k: padded(v, 65) if k == "cutoff" else
                (padded(v, 1) if k == "nbr" else padded(v))
                for k, v in args_2d.items()}
-    tiled_np = {k: _tile_lanes(v) for k, v in args_2d.items()}
+    tiled_np = {k: _tile_lanes(v, lanes) for k, v in args_2d.items()}
     # pad the PEQ alphabet axis 5 -> 8 for Mosaic sublane tiling
     for k in ("peq_lo", "peq_hi"):
         a = tiled_np[k]
@@ -313,13 +411,14 @@ def stage_batch(batch: BandedBatch):
         if v.ndim == 2:   # lane vectors
             tiled_np[k] = v[:, None, :]
     tiled = {k: jnp.asarray(v) for k, v in tiled_np.items()}
-    statics = dict(EBB8=EBB8, EBB=EBB, NB=batch.NB, K=batch.K, B=B)
+    statics = dict(EBB8=EBB8, EBB=EBB, NB=batch.NB, K=batch.K, B=B,
+                   LANES=lanes, FULL=batch.full)
     return tiled, statics
 
 
 def run_staged(tiled, statics, interpret: bool | None = None):
     """Execute the kernel on staged device args; returns device arrays
-    (the 7-tuple of outputs, lane-tiled)."""
+    (the output tuple, lane-tiled)."""
     return _pallas_banded(
         tiled["peq_lo"], tiled["peq_hi"], tiled["lm_lo"], tiled["lm_hi"],
         tiled["text"], tiled["init_scores"], tiled["cutoff"],
@@ -327,18 +426,22 @@ def run_staged(tiled, statics, interpret: bool | None = None):
         tiled["tfinish"], tiled["first0"], tiled["last0"],
         EBB=statics["EBB8"], NB=statics["NB"],
         K=statics["NB"] + statics["EBB8"],
+        LANES=statics["LANES"], FULL=statics["FULL"],
         interpret=(not pallas_available()) if interpret is None
         else interpret)
 
 
 def collect_outputs(out, statics):
-    """Untile the kernel outputs back to the (…, B) host layout."""
+    """Untile the kernel outputs back to the (…, B) host layout. The
+    full variant's traceback planes stay lane-tiled (they are consumed
+    per (tile, lane) by the host traceback — untiling would copy the
+    whole matrix)."""
     EBB8, EBB, B, K = (statics["EBB8"], statics["EBB"], statics["B"],
                        statics["K"])
     names = ("scores_by_k", "pv_lo", "pv_hi", "mv_lo", "mv_hi",
              "first", "last")
     res = {}
-    for name, arr in zip(names, out):
+    for name, arr in zip(names, out[:7]):
         host = _untile_lanes(np.asarray(arr))
         if name == "scores_by_k":
             host = host[:K + 1]
@@ -347,13 +450,17 @@ def collect_outputs(out, statics):
         elif host.shape[0] == EBB8:
             host = host[:EBB]
         res[name] = host[..., :B]
+    if statics["FULL"]:
+        res["mats_tiled"] = [np.asarray(a) for a in out[7:11]]
+        res["lanes"] = statics["LANES"]
     return res
 
 
 def run_banded_pallas(batch: BandedBatch, interpret: bool | None = None):
-    """Execute the Pallas score-only kernel; same output dict as
-    banded_jax.run_banded (full=False). Lane count is padded to the
-    1024-lane tile."""
+    """Execute the Pallas kernel; same output dict as
+    banded_jax.run_banded (score mode), plus lane-tiled
+    (P, T, EBB8, LANES) traceback planes under "mats_tiled" for full
+    batches. Lane count is padded to the lane tile."""
     tiled, statics = stage_batch(batch)
     out = run_staged(tiled, statics, interpret)
     return collect_outputs(out, statics)

@@ -30,6 +30,52 @@ def test_pallas_banded_score_parity_interpret():
         np.testing.assert_array_equal(seq[k], pal[k], err_msg=k)
 
 
+def test_pallas_banded_full_parity_interpret():
+    """Full-matrix variant: every stored band column must equal the XLA
+    scan's snapshots, and the traceback CIGARs must match the model."""
+    pairs = _pairs(5, 200, 0.12, 7) + _pairs(2, 300, 0.2, 8, 1.15)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    cutoffs = [max(len(p), len(t)) * 30 // 100 for p, t in pairs]
+    batch = prepare_banded_batch(pats, txts, cutoffs, full=True)
+    seq = run_banded(batch)
+    pal = run_banded_pallas(batch, interpret=True)
+    for k in ("scores_by_k", "pv_lo", "pv_hi", "mv_lo", "mv_hi",
+              "first", "last"):
+        np.testing.assert_array_equal(seq[k], pal[k], err_msg=k)
+    # snapshot planes: untile and compare against the scan's matrices
+    from quicked_tpu.ops.banded_pallas import _untile_lanes
+    lanes = pal["lanes"]
+    B, EBB = batch.B, batch.EBB
+    for name, tiled in zip(("mat_pv_lo", "mat_pv_hi", "mat_mv_lo",
+                            "mat_mv_hi"), pal["mats_tiled"]):
+        host = _untile_lanes(tiled)[:, :EBB, :B]
+        np.testing.assert_array_equal(seq[name], host, err_msg=name)
+
+
+def test_pallas_full_traceback_matches_model():
+    from quicked_tpu import native
+    from quicked_tpu.aligner.batch import _traceback_tiled
+    from quicked_tpu.ops import myers_np
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    pairs = _pairs(4, 180, 0.15, 9)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    cutoffs = [70] * 4
+    batch = prepare_banded_batch(pats, txts, cutoffs, full=True)
+    pal = run_banded_pallas(batch, interpret=True)
+    sub = list(range(4))
+    ops = _traceback_tiled(pal["mats_tiled"], pal["lanes"], batch, sub,
+                           pats, txts)
+    for i in range(4):
+        _, expect = myers_np.banded_align(pats[i], txts[i],
+                                          int(cutoffs[i]))
+        assert ops[i] == expect
+
+
 def test_pallas_lane_padding():
     # fewer pairs than one lane tile: padding must not disturb results
     assert LANES == 1024
