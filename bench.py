@@ -29,6 +29,43 @@ BANDWIDTH = 15
 REPS = 3
 
 
+def _parity_check(batch, scores_by_k):
+    """Compare the timed kernel's final scores against an INDEPENDENT
+    path (the host C kernel; falls back to the exact numpy model on a
+    lane subsample) — the compiled-kernel gate: a Mosaic miscompile
+    would ship fast wrong answers with a green CPU-interpret suite."""
+    import numpy as np
+
+    from quicked_tpu.ops.batch_prep import extract_final_scores
+
+    got = extract_final_scores(batch, scores_by_k)
+    n = len(batch.enc_patterns)
+    from quicked_tpu import native
+    if native.available():
+        from quicked_tpu.utils.host_threads import map_lanes
+
+        want = np.zeros(n, dtype=np.int64)
+
+        def one(b):
+            want[b] = native.banded_score(
+                batch.enc_patterns[b], batch.enc_texts[b],
+                int(batch.cutoff[b]), int(batch.tlen[b]),
+                int(batch.tfinish[b]))
+
+        map_lanes(one, n)
+        return bool(np.array_equal(got[:n], want))
+    from quicked_tpu.ops import myers_np
+
+    idx = range(0, n, max(n // 32, 1))
+    for b in idx:
+        ref = myers_np.banded_score(
+            myers_np.compile_pattern(batch.enc_patterns[b]),
+            batch.enc_texts[b], int(batch.cutoff[b]))
+        if int(got[b]) != ref.score:
+            return False
+    return True
+
+
 def _tpu_rate(pairs):
     import jax
     import numpy as np
@@ -46,6 +83,7 @@ def _tpu_rate(pairs):
     batch = prepare_banded_batch([p for p, _ in pairs],
                                  [t for _, t in pairs], cutoffs, full=False,
                                  pad_to_b=N_PAIRS)
+    parity = None
     if pallas_available():
         tiled, statics = stage_batch(batch)
 
@@ -55,39 +93,56 @@ def _tpu_rate(pairs):
             # the dev tunnel, block_until_ready alone under-reports)
             np.asarray(out[5])
             return out
+
+        def check_parity(out):
+            res = collect_outputs(out, statics)
+            return _parity_check(batch, res["scores_by_k"])
     else:
         # CPU fallback: the native C kernel (ops/banded_native.py)
         from quicked_tpu.ops.banded_native import (native_available,
                                                    run_banded_native)
 
+        import jax.numpy as jnp
+
+        from quicked_tpu.ops.banded_jax import _banded_scan
+
+        args = [jnp.asarray(a) for a in (
+            batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi,
+            batch.text, batch.init_scores, batch.cutoff, batch.prolog,
+            batch.nbr, batch.finish_v, batch.tfinish, batch.first0,
+            batch.last0)]
+
+        def run_scan():
+            out = _banded_scan(*args, EBB=batch.EBB, NB=batch.NB,
+                               full=False)
+            np.asarray(out["first"])
+            return out
+
         if native_available():
             def run():
                 return run_banded_native(batch)
+
+            def check_parity(out):
+                # native timed lane: cross-check vs the XLA scan
+                scan = run_scan()
+                return bool(np.array_equal(
+                    np.asarray(out["scores_by_k"]),
+                    np.asarray(scan["scores_by_k"])))
         else:
-            import jax.numpy as jnp
+            run = run_scan
 
-            from quicked_tpu.ops.banded_jax import _banded_scan
+            def check_parity(out):
+                return _parity_check(batch, np.asarray(out["scores_by_k"]))
 
-            args = [jnp.asarray(a) for a in (
-                batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi,
-                batch.text, batch.init_scores, batch.cutoff, batch.prolog,
-                batch.nbr, batch.finish_v, batch.tfinish, batch.first0,
-                batch.last0)]
-
-            def run():
-                out = _banded_scan(*args, EBB=batch.EBB, NB=batch.NB,
-                                   full=False)
-                np.asarray(out["first"])
-                return out
-
-    run()  # compile + warmup
+    out = run()  # compile + warmup
+    parity = check_parity(out)
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
     bases = sum(max(len(p), len(t)) for p, t in pairs)
-    return bases / best
+    return bases / best, parity
 
 
 def _cpu_rate(pairs):
@@ -149,7 +204,7 @@ def main():
 
     pairs = list(generate.generate_pairs(N_PAIRS, LENGTH, error=ERROR,
                                          seed=7))
-    tpu = _tpu_rate(pairs)
+    tpu, parity = _tpu_rate(pairs)
     try:
         cpu = _cpu_rate(pairs)
     except Exception as e:  # oracle failures must not kill the bench
@@ -161,6 +216,7 @@ def main():
         "value": round(tpu, 1),
         "unit": "bases/s",
         "vs_baseline": round(vs, 3),
+        "parity": parity,
     }
     if platform:
         out["platform_fallback"] = platform

@@ -1,0 +1,474 @@
+"""Pallas TPU kernel: deep-band BandEd score-only via the carry-map scan.
+
+The Mosaic implementation of banded_cscan_jax: one PAIR per grid row
+(grid (B, NB)), all of the pair's band blocks advancing in parallel on
+the VPU. Band block i lives at position (i // 128, i % 128) of
+(R, 128) u32 planes resident in VMEM scratch; the per-column carry
+chain is resolved by a two-tier Hillis-Steele prefix scan over the
+3-state carry maps (lane tier: 7 levels of lane rolls; row tier:
+log2(R) levels on the row summaries).
+
+This kernel serves the regimes the pairs-as-lanes kernel cannot: deep
+bands (EBB beyond its VMEM cap) and tiny batches (B << 1024 lanes) —
+the ONT-class stage-3 and Hirschberg score passes, where the reference
+uses its AVX2 anti-diagonal pipeline (bpm_banded.c:349-788). Unlike
+that pipeline, the carry-map scan keeps every VPU lane busy at B = 1.
+
+Bit-exact with banded_jax.run_banded / banded_cscan_jax (shared
+advance_variants / compose_maps math; maintenance re-derived for the
+flat block layout and parity-tested).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quicked_tpu.ops.banded_cscan_jax import (
+    M_ST,
+    P_ST,
+    advance_variants,
+    _out_state,
+    compose_maps,
+)
+from quicked_tpu.ops.batch_prep import BandedBatch
+
+W = 64
+LN = 128          # lane count per block row
+U32 = jnp.uint32
+I32 = jnp.int32
+ALPH = 8          # alphabet axis padded 5 -> 8
+
+
+def _lane_idx(shape):
+    return jax.lax.broadcasted_iota(I32, shape, len(shape) - 1)
+
+
+def _row_idx(shape):
+    return jax.lax.broadcasted_iota(I32, shape, len(shape) - 2)
+
+
+def _row_shift_down(x, k, fill):
+    """y[r] = x[r-k] along the second-to-last axis; vacated rows filled."""
+    if k == 0:
+        return x
+    R = x.shape[-2]
+    if k >= R:
+        return jnp.full_like(x, fill)
+    pad = jnp.full(x.shape[:-2] + (k, x.shape[-1]), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-k, :]], axis=-2)
+
+
+def _row_shift_up(x, k, fill):
+    """y[r] = x[r+k]; vacated rows filled."""
+    if k == 0:
+        return x
+    R = x.shape[-2]
+    if k >= R:
+        return jnp.full_like(x, fill)
+    pad = jnp.full(x.shape[:-2] + (k, x.shape[-1]), fill, x.dtype)
+    return jnp.concatenate([x[..., k:, :], pad], axis=-2)
+
+
+def flat_shift_down(x, d: int, fill):
+    """Shift toward higher flat index by static d: y[i] = x[i - d] over
+    the row-major (.., R, 128) layout; vacated slots filled."""
+    k, rem = divmod(d, LN)
+    a = _row_shift_down(x, k, fill)
+    if rem == 0:
+        return a
+    b = _row_shift_down(x, k + 1, fill)
+    ra = pltpu.roll(a, rem, axis=x.ndim - 1)
+    rb = pltpu.roll(b, rem, axis=x.ndim - 1)
+    return jnp.where(_lane_idx(x.shape) >= rem, ra, rb)
+
+
+def flat_shift_up(x, d: int, fill):
+    """y[i] = x[i + d] over the row-major (.., R, 128) layout."""
+    k, rem = divmod(d, LN)
+    a = _row_shift_up(x, k, fill)
+    if rem == 0:
+        return a
+    b = _row_shift_up(x, k + 1, fill)
+    ra = pltpu.roll(a, -rem, axis=x.ndim - 1)
+    rb = pltpu.roll(b, -rem, axis=x.ndim - 1)
+    return jnp.where(_lane_idx(x.shape) < LN - rem, ra, rb)
+
+
+def shift_up_dyn(x, off, fill):
+    """y[i] = x[i + off] for a TRACED off in [0, 128): the window
+    alignment shift (the HBM fetch starts at the 128-aligned block)."""
+    a = pltpu.roll(x, -off, axis=x.ndim - 1)
+    b = pltpu.roll(_row_shift_up(x, 1, fill), -off, axis=x.ndim - 1)
+    return jnp.where(_lane_idx(x.shape) < LN - off, a, b)
+
+
+def _prefix_carry(a, b, n_row_levels: int):
+    """Exclusive prefix composition of the per-block maps (a, b) over the
+    flat (R, 128) layout; returns the resolved carry-in state per block.
+
+    Two tiers: an inclusive lane-tier scan inside each row (7 levels of
+    lane rolls), then a row-tier exclusive scan over the row summaries
+    (lane 127 of each row), composed back into every lane.
+    """
+    fillP = jnp.uint32(P_ST)
+    # inject the constant-P map below block 0 and make it exclusive
+    a = flat_shift_down(a, 1, fillP)
+    b = flat_shift_down(b, 1, fillP)
+    lane = _lane_idx(a.shape)
+    for lev in range(7):          # 1,2,4,...,64
+        d = 1 << lev
+        ag = pltpu.roll(a, d, axis=a.ndim - 1)
+        bg = pltpu.roll(b, d, axis=b.ndim - 1)
+        ag = jnp.where(lane >= d, ag, fillP)
+        bg = jnp.where(lane >= d, bg, fillP)
+        a, b = compose_maps(a, b, ag, bg)
+    # row summaries: the full-row map is at lane 127
+    sa = a[..., LN - 1:LN]        # (R, 1)
+    sb = b[..., LN - 1:LN]
+    # exclusive row-tier prefix (row r gets rows < r composed)
+    sa = _row_shift_down(sa, 1, P_ST)
+    sb = _row_shift_down(sb, 1, P_ST)
+    for lev in range(n_row_levels):
+        d = 1 << lev
+        sag = _row_shift_down(sa, d, P_ST)
+        sbg = _row_shift_down(sb, d, P_ST)
+        sa, sb = compose_maps(sa, sb, sag, sbg)
+    # total prefix: lane-tier map composed after the row-tier prefix
+    a, b = compose_maps(a, b, jnp.broadcast_to(sa, a.shape),
+                        jnp.broadcast_to(sb, b.shape))
+    # every prefix bottoms out in constant-P, so the P/Z image is the
+    # resolved carry-in
+    return a
+
+
+def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
+            text_ref, cutoff_ref, prolog_ref, nbr_ref, finishv_ref,
+            tfinish_ref, first0_ref, last0_ref,               # SMEM in
+            dropped_out, scw_out, pv_lo_out, pv_hi_out,
+            mv_lo_out, mv_hi_out, first_out, last_out,        # out
+            pv_lo, pv_hi, mv_lo, mv_hi, scw, fl,
+            raw_peq_lo, raw_peq_hi, raw_lm_lo, raw_lm_hi,
+            win_peq_lo, win_peq_hi, win_lm_lo, win_lm_hi, sems,
+            *, R: int, EBB: int, NB: int, n_row_levels: int):
+    b = pl.program_id(0)
+    nb = pl.program_id(1)
+    prolog = prolog_ref[0, 0]
+    cutoff = cutoff_ref[0, 0]
+    nbr = nbr_ref[0, 0]
+    finish_v = finishv_ref[0, 0]
+    tfinish = tfinish_ref[0, 0]
+
+    blk = _row_idx((R, LN)) * LN + _lane_idx((R, LN))
+    blk_s = _row_idx((R + 1, LN)) * LN + _lane_idx((R + 1, LN))
+
+    @pl.when(nb == 0)
+    def _init():
+        pv_lo[:] = jnp.full((R, LN), 0xFFFFFFFF, U32)
+        pv_hi[:] = jnp.full((R, LN), 0xFFFFFFFF, U32)
+        mv_lo[:] = jnp.zeros((R, LN), U32)
+        mv_hi[:] = jnp.zeros((R, LN), U32)
+        # scores window init: (k - prolog + 1) * 64 (bpm_reset_search)
+        scw[:] = (blk_s - prolog + 1) * W
+        fl[0] = first0_ref[0, 0]
+        fl[1] = last0_ref[0, 0]
+
+    # fetch the 128-aligned PEQ/level-mask window covering blocks
+    # [nb, nb + R*128): rows nb//128 .. nb//128 + R of the pre-tiled
+    # (B, ALPH, KT, 128) planes, then alignment-shift by nb % 128
+    nbq = nb // LN
+    copies = [
+        pltpu.make_async_copy(peq_lo_hbm.at[b, :, pl.ds(nbq, R + 1), :],
+                              raw_peq_lo, sems.at[0]),
+        pltpu.make_async_copy(peq_hi_hbm.at[b, :, pl.ds(nbq, R + 1), :],
+                              raw_peq_hi, sems.at[1]),
+        pltpu.make_async_copy(lm_lo_hbm.at[b, pl.ds(nbq, R + 1), :],
+                              raw_lm_lo, sems.at[2]),
+        pltpu.make_async_copy(lm_hi_hbm.at[b, pl.ds(nbq, R + 1), :],
+                              raw_lm_hi, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+    off = nb - nbq * LN
+    win_peq_lo[:] = shift_up_dyn(raw_peq_lo[:], off, jnp.uint32(0xFFFFFFFF))
+    win_peq_hi[:] = shift_up_dyn(raw_peq_hi[:], off, jnp.uint32(0xFFFFFFFF))
+    win_lm_lo[:] = shift_up_dyn(raw_lm_lo[:], off, jnp.uint32(0))
+    win_lm_hi[:] = shift_up_dyn(raw_lm_hi[:], off, jnp.uint32(0x80000000))
+
+    first = fl[0]
+    last = fl[1]
+
+    def col_body(j, _):
+        c = text_ref[0, 0, j]
+        col_act = nb * W + j < tfinish
+        eq_lo = win_peq_lo[c, :R]
+        eq_hi = win_peq_hi[c, :R]
+        lm_lo = win_lm_lo[:R]
+        lm_hi = win_lm_hi[:R]
+        pvs = (pv_lo[:], pv_hi[:])
+        mvs = (mv_lo[:], mv_hi[:])
+
+        z_st, p_st, m_st, (z_pho, z_mho), (m_pho, m_mho) = \
+            advance_variants(eq_lo, eq_hi, lm_lo, lm_hi,
+                             pvs[0], pvs[1], mvs[0], mvs[1])
+        a = _out_state(z_pho, z_mho)
+        bmap = _out_state(m_pho, m_mho)
+        below = blk < first
+        a = jnp.where(below, jnp.uint32(P_ST), a)
+        bmap = jnp.where(below, jnp.uint32(P_ST), bmap)
+        r = _prefix_carry(a, bmap, n_row_levels)
+
+        is_m = r == M_ST
+        is_p = r == P_ST
+
+        def pick(zv, pv_, mv_):
+            return jnp.where(is_m, mv_, jnp.where(is_p, pv_, zv))
+
+        act = col_act & (blk >= first) & (blk <= last)
+        pv_lo[:] = jnp.where(act, pick(z_st[0], p_st[0], m_st[0]), pvs[0])
+        pv_hi[:] = jnp.where(act, pick(z_st[1], p_st[1], m_st[1]), pvs[1])
+        mv_lo[:] = jnp.where(act, pick(z_st[2], p_st[2], m_st[2]), mvs[0])
+        mv_hi[:] = jnp.where(act, pick(z_st[3], p_st[3], m_st[3]), mvs[1])
+        delta = jnp.where(is_m, m_pho.astype(I32) - m_mho.astype(I32),
+                          z_pho.astype(I32) - z_mho.astype(I32))
+        delta = jnp.where(act, delta, 0)
+        scw[:R] = scw[:R] + delta
+        return 0
+
+    jax.lax.fori_loop(0, W, col_body, 0)
+
+    # ---- band maintenance (banded_jax._maintenance, flat layout) ----
+    srows = scw[:R]
+
+    def cap(at):
+        at_c = jnp.clip(at, 0, EBB - 1)
+        return jnp.sum(jnp.where(blk == at_c, srows, 0))
+
+    c_first1 = cap(first + 1)
+    c_last1 = cap(last - 1)
+    c_last = cap(last)
+
+    do_shift = (nb + 1) * W <= tfinish
+    pos_h = nb
+    cut_lower = (first + 2 < last) & (finish_v > W * (first + 1)) & \
+        ((c_first1 + (finish_v - W * (first + 1))) > cutoff)
+    inc = do_shift & cut_lower & (pos_h >= prolog)
+    dec = do_shift & (~cut_lower) & (pos_h < prolog)
+    first = first + inc.astype(I32) - dec.astype(I32)
+
+    m_shift = do_shift & (blk >= first) & (blk < last)
+    m_top = do_shift & (blk == last)
+
+    def bshift(ref, top_val):
+        rolled = flat_shift_up(ref[:], 1, top_val)
+        v = jnp.where(m_shift, rolled, ref[:])
+        ref[:] = jnp.where(m_top, top_val, v)
+
+    bshift(pv_lo, jnp.uint32(0xFFFFFFFF))
+    bshift(pv_hi, jnp.uint32(0xFFFFFFFF))
+    bshift(mv_lo, jnp.uint32(0))
+    bshift(mv_hi, jnp.uint32(0))
+
+    m_write = do_shift & (blk_s == last + 1)
+    scw[:] = jnp.where(m_write, c_last + W, scw[:])
+
+    cut_higher = (first + 2 < last) & (W * (last - 1) > finish_v) & \
+        ((c_last1 + (W * (last - 1) - finish_v)) > cutoff)
+    clamp = (nb - prolog + last) >= nbr      # score-only clamp
+    last = last - (do_shift & (cut_higher | clamp)).astype(I32)
+
+    # dropped row + scores-window roll
+    dropped_out[0, nb] = scw[0, 0]
+    new_row = ((nb + 1 + EBB - prolog + 1) * W).astype(I32)
+    scw[:] = flat_shift_up(scw[:], 1, new_row)
+    fl[0] = first
+    fl[1] = last
+
+    @pl.when(nb == NB - 1)
+    def _finish():
+        scw_out[0] = scw[:]
+        pv_lo_out[0] = pv_lo[:]
+        pv_hi_out[0] = pv_hi[:]
+        mv_lo_out[0] = mv_lo[:]
+        mv_hi_out[0] = mv_hi[:]
+        first_out[0, 0] = first
+        last_out[0, 0] = last
+
+
+@partial(jax.jit, static_argnames=("R", "EBB", "NB", "n_row_levels",
+                                   "interpret"))
+def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
+                  nbr, finish_v, tfinish, first0, last0,
+                  *, R: int, EBB: int, NB: int, n_row_levels: int,
+                  interpret: bool = False):
+    B = text.shape[0]
+    grid = (B, NB)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    smem = pl.BlockSpec((1, 1), lambda b, nb: (b, 0),
+                        memory_space=pltpu.SMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, NB), jnp.int32),            # dropped
+        jax.ShapeDtypeStruct((B, R + 1, LN), jnp.int32),     # scw final
+        jax.ShapeDtypeStruct((B, R, LN), jnp.uint32),        # pv_lo
+        jax.ShapeDtypeStruct((B, R, LN), jnp.uint32),
+        jax.ShapeDtypeStruct((B, R, LN), jnp.uint32),
+        jax.ShapeDtypeStruct((B, R, LN), jnp.uint32),
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),             # first
+        jax.ShapeDtypeStruct((B, 1), jnp.int32),             # last
+    )
+    out_specs = (
+        pl.BlockSpec((1, NB), lambda b, nb: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R + 1, LN), lambda b, nb: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LN), lambda b, nb: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LN), lambda b, nb: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LN), lambda b, nb: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, LN), lambda b, nb: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda b, nb: (b, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda b, nb: (b, 0),
+                     memory_space=pltpu.SMEM),
+    )
+    return pl.pallas_call(
+        partial(_kernel, R=R, EBB=EBB, NB=NB, n_row_levels=n_row_levels),
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            hbm, hbm, hbm, hbm,
+            pl.BlockSpec((1, 1, W), lambda b, nb: (b, nb, 0),
+                         memory_space=pltpu.VMEM),            # text
+            smem, smem, smem, smem, smem, smem, smem,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((R, LN), jnp.uint32),    # pv_lo
+            pltpu.VMEM((R, LN), jnp.uint32),
+            pltpu.VMEM((R, LN), jnp.uint32),
+            pltpu.VMEM((R, LN), jnp.uint32),
+            pltpu.VMEM((R + 1, LN), jnp.int32),  # scw
+            pltpu.SMEM((2,), jnp.int32),         # first/last
+            pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),   # raw peq fetch
+            pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),
+            pltpu.VMEM((R + 1, LN), jnp.uint32),         # raw lm fetch
+            pltpu.VMEM((R + 1, LN), jnp.uint32),
+            pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),   # aligned windows
+            pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),
+            pltpu.VMEM((R + 1, LN), jnp.uint32),
+            pltpu.VMEM((R + 1, LN), jnp.uint32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog, nbr,
+      finish_v, tfinish, first0, last0)
+
+
+def stage_cscan_batch(batch: BandedBatch):
+    """Host prep: re-layout the shifted-frame PEQ/level-mask planes into
+    per-pair lane-tiled (B, [ALPH,] KT, 128) HBM arrays and the text
+    into (B, NB, 64)."""
+    B, EBB, NB, K = batch.B, batch.EBB, batch.NB, batch.K
+    R = max(-(-EBB // LN), 1)
+    # KT covers the last fetch: rows (NB-1)//128 .. +R inclusive
+    KT = (NB - 1) // LN + R + 1
+
+    def tile_rows(a, fill):
+        # (K, ..., B) -> (B, ..., KT, 128)
+        a = np.moveaxis(a, 0, -1)          # (..., B, K)
+        a = np.moveaxis(a, -1, 0)          # (K, ..., B) -> keep simple
+        return a
+
+    # peq: (K, 5, B) -> (B, ALPH, KT*128) padded
+    def prep_peq(p, fill):
+        arr = np.full((B, ALPH, KT * LN), fill, dtype=np.uint32)
+        src = np.transpose(p, (2, 1, 0))    # (B, 5, K)
+        arr[:, :5, :min(K, KT * LN)] = src[:, :, :min(K, KT * LN)]
+        # alphabet padding rows behave like all-match (never selected)
+        arr[:, 5:, :] = fill
+        return arr.reshape(B, ALPH, KT, LN)
+
+    def prep_lm(m, fill):
+        arr = np.full((B, KT * LN), fill, dtype=np.uint32)
+        src = np.transpose(m, (1, 0))       # (B, K)
+        arr[:, :min(K, KT * LN)] = src[:, :min(K, KT * LN)]
+        return arr.reshape(B, KT, LN)
+
+    peq_lo = prep_peq(batch.peq_lo, 0xFFFFFFFF)
+    peq_hi = prep_peq(batch.peq_hi, 0xFFFFFFFF)
+    lm_lo = prep_lm(batch.lm_lo, 0)
+    lm_hi = prep_lm(batch.lm_hi, 0x80000000)
+    text = np.ascontiguousarray(
+        np.transpose(batch.text.reshape(NB, W, B), (2, 0, 1)))
+
+    def col(v):
+        return np.asarray(v, dtype=np.int32).reshape(B, 1)
+
+    args = dict(
+        peq_lo=jnp.asarray(peq_lo), peq_hi=jnp.asarray(peq_hi),
+        lm_lo=jnp.asarray(lm_lo), lm_hi=jnp.asarray(lm_hi),
+        text=jnp.asarray(text),
+        cutoff=jnp.asarray(col(batch.cutoff)),
+        prolog=jnp.asarray(col(batch.prolog)),
+        nbr=jnp.asarray(col(batch.nbr)),
+        finish_v=jnp.asarray(col(batch.finish_v)),
+        tfinish=jnp.asarray(col(batch.tfinish)),
+        first0=jnp.asarray(col(batch.first0)),
+        last0=jnp.asarray(col(batch.last0)))
+    n_row_levels = max(int(np.ceil(np.log2(max(R, 2)))), 1)
+    statics = dict(R=R, EBB=EBB, NB=NB, K=K, B=B,
+                   n_row_levels=n_row_levels)
+    return args, statics
+
+
+def run_cscan_staged(args, statics, interpret: bool | None = None):
+    if interpret is None:
+        import jax as _jax
+        interpret = _jax.devices()[0].platform != "tpu"
+    return _pallas_cscan(
+        args["peq_lo"], args["peq_hi"], args["lm_lo"], args["lm_hi"],
+        args["text"], args["cutoff"], args["prolog"], args["nbr"],
+        args["finish_v"], args["tfinish"], args["first0"], args["last0"],
+        R=statics["R"], EBB=statics["EBB"], NB=statics["NB"],
+        n_row_levels=statics["n_row_levels"], interpret=interpret)
+
+
+def collect_cscan(out, statics):
+    """Assemble the kernel outputs into run_banded's score-only dict."""
+    R, EBB, NB, K, B = (statics["R"], statics["EBB"], statics["NB"],
+                        statics["K"], statics["B"])
+    dropped, scw, pv_lo, pv_hi, mv_lo, mv_hi, first, last = \
+        [np.asarray(o) for o in out]
+    scores_by_k = np.empty((K + 1, B), dtype=np.int32)
+    scores_by_k[:NB] = dropped.T
+    tail = scw.reshape(B, (R + 1) * LN)[:, :K + 1 - NB]
+    scores_by_k[NB:] = tail.T
+
+    def planes(x):
+        return np.ascontiguousarray(x.reshape(B, R * LN)[:, :EBB].T)
+
+    return dict(scores_by_k=scores_by_k,
+                pv_lo=planes(pv_lo), pv_hi=planes(pv_hi),
+                mv_lo=planes(mv_lo), mv_hi=planes(mv_hi),
+                first=first.reshape(B).astype(np.int32),
+                last=last.reshape(B).astype(np.int32))
+
+
+def run_banded_cscan_pallas(batch: BandedBatch,
+                            interpret: bool | None = None):
+    """Execute the deep-band carry-scan kernel; same output dict as
+    banded_jax.run_banded (full=False)."""
+    assert not batch.full, "carry-scan kernel is score-only"
+    args, statics = stage_cscan_batch(batch)
+    out = run_cscan_staged(args, statics, interpret)
+    return collect_cscan(out, statics)
