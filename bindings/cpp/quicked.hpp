@@ -1,0 +1,84 @@
+/*
+ * C++ binding over the quicked_tpu native host runtime.
+ *
+ * Mirrors the reference's RAII surface (bindings/cpp/quicked.hpp:47-69):
+ * a QuickedAligner with per-parameter setters, align(), getScore(),
+ * getCigar(), and a QuickedException raised on error statuses. The
+ * backend is the native C runtime (quicked_tpu/native/src/
+ * quicked_host.c: qh_align) — the same kernels the Python package uses
+ * as its host fallback, bit-exact with the device kernels.
+ *
+ * Build: link against libquicked_host.so, or compile the C runtime in:
+ *   gcc -O2 -c quicked_tpu/native/src/quicked_host.c -o quicked_host.o
+ *   g++ -O2 my_app.cpp bindings/cpp/quicked.cpp quicked_host.o -pthread
+ */
+#ifndef QUICKED_TPU_CPP_BINDING_HPP
+#define QUICKED_TPU_CPP_BINDING_HPP
+
+#include <cstdint>
+#include <stdexcept>
+#include <string>
+
+namespace quicked {
+
+enum class QuickedAlgo : std::int64_t {
+    QUICKED = 0,
+    BANDED = 1,
+    WINDOWED = 2,
+    HIRSCHBERG = 3,
+};
+
+enum class QuickedStatus : std::int64_t {
+    QUICKED_OK = 0,
+    QUICKED_ERROR = -1,
+    QUICKED_FAIL_NON_CONVERGENCE = -2,
+    QUICKED_UNKNOWN_ALGO = -3,
+    QUICKED_EMPTY_SEQUENCE = -4,
+    QUICKED_WIP = 1,
+};
+
+class QuickedException : public std::runtime_error {
+public:
+    explicit QuickedException(QuickedStatus status);
+    QuickedStatus status() const { return status_; }
+
+private:
+    QuickedStatus status_;
+};
+
+class QuickedAligner {
+public:
+    QuickedAligner() = default;
+
+    // Throws QuickedException on error statuses (empty sequence, ...).
+    void align(const std::string &pattern, const std::string &text);
+
+    void setAlgorithm(QuickedAlgo algo) { algo_ = algo; }
+    void setOnlyScore(bool only_score) { only_score_ = only_score; }
+    void setBandwidth(unsigned int bandwidth) { bandwidth_ = bandwidth; }
+    void setWindowSize(unsigned int ws) { window_size_ = ws; }
+    void setOverlapSize(unsigned int ovl) { overlap_size_ = ovl; }
+    void setForceScalar(bool) {}  // no SIMD toggle in the host runtime
+    void setHEWThreshold(unsigned int t) { hew_threshold_[0] = t; hew_threshold_[1] = t; }
+    void setHEWPercentage(unsigned int p) { hew_percentage_[0] = p; hew_percentage_[1] = p; }
+
+    std::int64_t getScore() const { return score_; }
+    // RLE CIGAR text form ("5M1X..."), or "NULL" when absent —
+    // matching the reference binding's getCigar() contract.
+    std::string getCigar() const { return cigar_.empty() ? "NULL" : cigar_; }
+
+private:
+    QuickedAlgo algo_ = QuickedAlgo::QUICKED;
+    bool only_score_ = false;
+    std::int64_t bandwidth_ = 15;
+    std::int64_t window_size_ = 9;
+    std::int64_t overlap_size_ = 1;
+    std::int64_t hew_threshold_[2] = {40, 40};
+    std::int64_t hew_percentage_[2] = {15, 15};
+    std::int64_t score_ = -1;
+    std::string cigar_;
+};
+
+}  // namespace quicked
+
+#endif  // QUICKED_TPU_CPP_BINDING_HPP

@@ -101,6 +101,15 @@ def _load():
         lib.qh_cigar_sprint_batch.argtypes = [
             ctypes.c_char_p, _i64p, _i64p, _i64, _i64,
             ctypes.c_char_p, _i64p, _i64p]
+        lib.qh_hirschberg.restype = _i64
+        lib.qh_hirschberg.argtypes = [
+            _u8p, _u8p, _i64, _u8p, _u8p, _i64, _i64, _i64,
+            ctypes.c_char_p, _i64p]
+        lib.qh_align.restype = _i64
+        lib.qh_align.argtypes = [
+            _i64, _u8p, _i64, _u8p, _i64,
+            _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64,
+            _i64p, ctypes.c_char_p, _i64p]
         _lib = lib
         return _lib
 
@@ -347,6 +356,45 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
            .decode("ascii") if status[i] == 0 else None
            for i in range(n)]
     return status, scores, ops
+
+
+def hirschberg(pattern_enc: np.ndarray, pattern_raw: bytes,
+               text_enc: np.ndarray, text_raw: bytes,
+               cutoff_score: int, budget: int):
+    """Host-native Hirschberg full alignment. Returns (status, ops_str):
+    status 0 ok, -2 non-convergence (ops = the partial right side)."""
+    lib = _load()
+    p = np.ascontiguousarray(pattern_enc, dtype=np.uint8)
+    t = np.ascontiguousarray(text_enc, dtype=np.uint8)
+    ops = ctypes.create_string_buffer(len(p) + len(t) + 1)
+    n = ctypes.c_int64()
+    st = int(lib.qh_hirschberg(
+        p.ctypes.data_as(_u8p), _u8bytes(pattern_raw), len(p),
+        t.ctypes.data_as(_u8p), _u8bytes(text_raw), len(t),
+        cutoff_score, budget, ops, ctypes.byref(n)))
+    return st, ops.raw[:n.value].decode("ascii")
+
+
+def align_one(algo: int, pattern_raw: bytes, text_raw: bytes, *,
+              only_score: bool = False, bandwidth: int = 15,
+              window_size: int = 9, overlap_size: int = 1,
+              hew_threshold=(40, 40), hew_percentage=(15, 15),
+              budget: int = 16 * 1024 * 1024):
+    """Single-pair quicked_align through the native runtime (qh_align).
+    Returns (status, score, ops_str|None)."""
+    lib = _load()
+    ops = ctypes.create_string_buffer(len(pattern_raw) + len(text_raw) + 1)
+    score = ctypes.c_int64()
+    n = ctypes.c_int64()
+    st = int(lib.qh_align(
+        algo, _u8bytes(pattern_raw), len(pattern_raw),
+        _u8bytes(text_raw), len(text_raw),
+        int(only_score), bandwidth, window_size, overlap_size,
+        hew_threshold[0], hew_threshold[1],
+        hew_percentage[0], hew_percentage[1], budget,
+        ctypes.byref(score), ops, ctypes.byref(n)))
+    op_str = ops.raw[:n.value].decode("ascii") if n.value > 0 else None
+    return st, int(score.value), op_str
 
 
 def read_seq_batch(data: bytes, max_pairs: int):

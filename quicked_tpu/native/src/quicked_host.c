@@ -1056,3 +1056,321 @@ int64_t qh_cigar_sprint_batch(
     }
     return total;
 }
+
+/* ------------------------------------------- Hirschberg (CPU path) */
+
+/*
+ * Memory-bounded full alignment: the bpm_compute_matrix_hirschberg
+ * recursion (bpm_hirschberg.c:33-270) over the per-pair C kernels —
+ * score-only half passes, band intersection + midpoint argmin, direct
+ * banded fill under the 16 MB budget. Completes the native runtime so
+ * host-only consumers (the C++ binding, CPU fallbacks) cover every
+ * algorithm without Python.
+ *
+ * CIGAR ops are written right-to-left into the shared buffer exactly
+ * like the reference (right half recursed first); non-convergence
+ * leaves the partial right side in place and returns -2.
+ */
+
+typedef struct {
+    const uint8_t *p_enc, *p_raw, *pr_enc, *pr_raw;
+    const uint8_t *t_enc, *t_raw, *tr_enc, *tr_raw;
+    int64_t plen_total, tlen_total, budget;
+} qh_hirs_ctx_t;
+
+static void qh_band_geo(int64_t plen, int64_t tlen, int64_t cutoff_score,
+                        int64_t *cutoff_out, int64_t *prolog_out,
+                        int64_t *ebb_alloc_out) {
+    int64_t k_end = (tlen > plen ? tlen - plen : plen - tlen) + 1;
+    int64_t cutoff = k_end > cutoff_score ? k_end : cutoff_score;
+    if (cutoff < 65) cutoff = 65;
+    int64_t diff = plen - tlen;
+    int64_t adiff = diff < 0 ? -diff : diff;
+    int64_t rel = qh_div_ceil(cutoff - adiff, 2);
+    int64_t prolog, ebb;
+    if (diff >= 0) {
+        prolog = qh_div_ceil(rel, QH_W);
+        ebb = qh_div_ceil(rel + diff, QH_W) + 1 + prolog;
+    } else {
+        prolog = qh_div_ceil(rel - diff, QH_W);
+        ebb = qh_div_ceil(rel, QH_W) + 1 + prolog;
+    }
+    *cutoff_out = cutoff;
+    *prolog_out = prolog;
+    *ebb_alloc_out = ebb;
+}
+
+static inline int qh_w64_bit(const uint64_t *w, int64_t ebb, int64_t idx,
+                             int dflt) {
+    int64_t blk = idx / QH_W;
+    if (blk < 0 || blk >= ebb) return dflt;  /* reset-value semantics */
+    return (int)((w[blk] >> (idx % QH_W)) & 1ULL);
+}
+
+static int64_t qh_hirs_rec(const qh_hirs_ctx_t *cx,
+                           int64_t p_off, int64_t plen,
+                           int64_t t_off, int64_t tlen,
+                           int64_t cutoff_score,
+                           char *buf, int64_t *pos) {
+    int64_t cutoff, prolog, ebb_alloc;
+    qh_band_geo(plen, tlen, cutoff_score, &cutoff, &prolog, &ebb_alloc);
+    if (ebb_alloc * tlen * 8 * 2 <= cx->budget) {
+        /* base case: direct banded fill + traceback, prepended */
+        char *tmp = (char *)malloc((size_t)(plen + tlen ? plen + tlen : 1));
+        if (!tmp) return -1;
+        int64_t sc;
+        int64_t n = qh_banded_align_full(
+            cx->p_enc + p_off, cx->p_raw + p_off, plen,
+            cx->t_enc + t_off, cx->t_raw + t_off, tlen,
+            cutoff_score, tmp, &sc);
+        if (n < 0) { free(tmp); return -1; }
+        *pos -= n;
+        memcpy(buf + *pos, tmp, (size_t)n);
+        free(tmp);
+        return 0;
+    }
+
+    const int64_t text_mid = (tlen + 1) / 2;
+    const int64_t text_mid_r = tlen - text_mid;
+    /* reversed-slice offsets into the top-level reversed arrays */
+    const int64_t pr_off = cx->plen_total - p_off - plen;
+    const int64_t tr_off = cx->tlen_total - t_off - tlen;
+
+    int64_t ebb_cap = cutoff / QH_W + 2;
+    int64_t nb_total = qh_div_ceil(text_mid > 0 ? text_mid : 1, QH_W);
+    int64_t nb_total_r = qh_div_ceil(text_mid_r > 0 ? text_mid_r : 1, QH_W);
+    int64_t fb = (plen % QH_W) ? plen / QH_W
+                               : (plen > 0 ? (plen - 1) / QH_W : 0);
+    int64_t n_rows = prolog + nb_total + ebb_cap + 2;
+    if (n_rows < fb + prolog + 1) n_rows = fb + prolog + 1;
+    int64_t n_rows_r = prolog + nb_total_r + ebb_cap + 2;
+    if (n_rows_r < fb + prolog + 1) n_rows_r = fb + prolog + 1;
+
+    uint64_t *f_pv = (uint64_t *)malloc((size_t)ebb_cap * 8);
+    uint64_t *f_mv = (uint64_t *)malloc((size_t)ebb_cap * 8);
+    uint64_t *r_pv = (uint64_t *)malloc((size_t)ebb_cap * 8);
+    uint64_t *r_mv = (uint64_t *)malloc((size_t)ebb_cap * 8);
+    int64_t *f_sc = (int64_t *)malloc((size_t)n_rows * 8);
+    int64_t *r_sc = (int64_t *)malloc((size_t)n_rows_r * 8);
+    if (!f_pv || !f_mv || !r_pv || !r_mv || !f_sc || !r_sc) {
+        free(f_pv); free(f_mv); free(r_pv); free(r_mv);
+        free(f_sc); free(r_sc);
+        return -1;
+    }
+    int64_t f_first, f_last, r_first, r_last, f_ebb, r_ebb;
+    qh_banded_score(cx->p_enc + p_off, plen, cx->t_enc + t_off,
+                    text_mid, tlen, cutoff_score,
+                    f_pv, f_mv, &f_first, &f_last, f_sc, &f_ebb);
+    qh_banded_score(cx->pr_enc + pr_off, plen, cx->tr_enc + tr_off,
+                    text_mid_r, tlen, cutoff_score,
+                    r_pv, r_mv, &r_first, &r_last, r_sc, &r_ebb);
+
+    /* band intersection + midpoint argmin (bpm_hirschberg.c:103-200,
+     * modeled by myers_np.hirschberg_split) */
+    int64_t status = 0;
+    int64_t fb_pos_v = (text_mid < prolog * QH_W) ? 0
+                                                  : text_mid / QH_W - prolog;
+    int64_t fb_pos_v_r = (text_mid_r < prolog * QH_W)
+                             ? 0 : text_mid_r / QH_W - prolog;
+    int64_t bottom_pos = f_first * QH_W + 63 + fb_pos_v * QH_W;
+    int64_t bottom_pos_r = (plen - 1)
+        - (r_last * QH_W + 63 + fb_pos_v_r * QH_W);
+    int64_t higher_pos = f_last * QH_W + 63 + fb_pos_v * QH_W;
+    int64_t higher_pos_r = (plen - 1)
+        - (r_first * QH_W + 63 + fb_pos_v_r * QH_W);
+
+    if (bottom_pos > higher_pos_r || bottom_pos_r > higher_pos) {
+        status = -2;   /* QUICKED_FAIL_NON_CONVERGENCE */
+        goto done;
+    }
+    {
+        int64_t bottom_cell, starting_pos, higher_cell, higher_cell_r;
+        if (bottom_pos > bottom_pos_r) {
+            bottom_cell = f_first * QH_W + 63;
+            starting_pos = bottom_pos;
+        } else {
+            bottom_cell = bottom_pos_r - fb_pos_v * QH_W;
+            starting_pos = bottom_pos_r;
+        }
+        if (higher_pos < higher_pos_r) {
+            higher_cell = f_last * QH_W + 63;
+            higher_cell_r = (plen - 1) - higher_pos - fb_pos_v_r * QH_W;
+        } else {
+            higher_cell = higher_pos_r - fb_pos_v * QH_W;
+            higher_cell_r = r_first * QH_W + 63;
+        }
+        int64_t n_cells = higher_cell - bottom_cell + 2;
+        int64_t *cs = (int64_t *)malloc((size_t)(n_cells + 1) * 8);
+        int64_t *csr = (int64_t *)malloc((size_t)(n_cells + 1) * 8);
+        if (!cs || !csr) { free(cs); free(csr); status = -1; goto done; }
+        cs[0] = 0;
+        csr[0] = 0;
+        for (int64_t i = 0; i < n_cells; i++) {
+            cs[i + 1] = cs[i]
+                + qh_w64_bit(f_pv, f_ebb, bottom_cell + i, 1)
+                - qh_w64_bit(f_mv, f_ebb, bottom_cell + i, 0);
+            csr[i + 1] = csr[i]
+                + qh_w64_bit(r_pv, r_ebb, higher_cell_r + i, 1)
+                - qh_w64_bit(r_mv, r_ebb, higher_cell_r + i, 0);
+        }
+        int64_t smaller_pos = 0;
+        int64_t smaller = csr[n_cells - 1] + cs[0];
+        for (int64_t i = 1; i < n_cells; i++) {
+            int64_t v = csr[n_cells - 1 - i] + cs[i];
+            if (v < smaller) { smaller_pos = i; smaller = v; }
+        }
+        int64_t pll = starting_pos + smaller_pos;
+        int64_t plr = plen - pll;
+
+        /* per-half bounds with the deterministic clamp the model uses
+         * for the reference's out-of-range reads */
+        #define QH_CS(arr, idx) \
+            (arr[(idx) < 0 ? 0 : ((idx) > n_cells ? n_cells : (idx))])
+        int64_t block_ref = qh_div_ceil(pll, QH_W)
+            - ((n_cells < smaller_pos + QH_W) ? 1 : 0);
+        int64_t score_pos_l = block_ref * QH_W
+            - (bottom_cell + fb_pos_v * QH_W);
+        int64_t score_l = cs[smaller_pos] - QH_CS(cs, score_pos_l)
+            + f_sc[block_ref - 1 + prolog];
+        int64_t block_ref_r = qh_div_ceil(plr, QH_W)
+            - ((smaller_pos < QH_W) ? 1 : 0);
+        int64_t score_pos_r = block_ref_r * QH_W
+            - (higher_cell_r + fb_pos_v_r * QH_W);
+        int64_t score_r = QH_CS(csr, n_cells - 1 - smaller_pos)
+            - QH_CS(csr, score_pos_r)
+            + r_sc[block_ref_r - 1 + prolog];
+        #undef QH_CS
+        free(cs); free(csr);
+
+        /* right half first, then left (right-to-left shared buffer) */
+        status = qh_hirs_rec(cx, p_off + pll, plr, t_off + text_mid,
+                             tlen - text_mid, score_r, buf, pos);
+        if (status == 0)
+            status = qh_hirs_rec(cx, p_off, pll, t_off, text_mid,
+                                 score_l, buf, pos);
+    }
+done:
+    free(f_pv); free(f_mv); free(r_pv); free(r_mv);
+    free(f_sc); free(r_sc);
+    return status;
+}
+
+/*
+ * Full Hirschberg alignment. Writes forward-order ops into ops_out
+ * (capacity plen + tlen); *n_out = op count (partial right side on
+ * non-convergence). Returns 0, -2 (non-convergence) or -1 (alloc).
+ */
+int64_t qh_hirschberg(
+    const uint8_t *pattern_enc, const uint8_t *pattern_raw, int64_t plen,
+    const uint8_t *text_enc, const uint8_t *text_raw, int64_t tlen,
+    int64_t cutoff_score, int64_t budget,
+    char *ops_out, int64_t *n_out) {
+    uint8_t *pr_enc = (uint8_t *)malloc((size_t)(plen ? plen : 1));
+    uint8_t *pr_raw = (uint8_t *)malloc((size_t)(plen ? plen : 1));
+    uint8_t *tr_enc = (uint8_t *)malloc((size_t)(tlen ? tlen : 1));
+    uint8_t *tr_raw = (uint8_t *)malloc((size_t)(tlen ? tlen : 1));
+    if (!pr_enc || !pr_raw || !tr_enc || !tr_raw) {
+        free(pr_enc); free(pr_raw); free(tr_enc); free(tr_raw);
+        return -1;
+    }
+    for (int64_t i = 0; i < plen; i++) {
+        pr_enc[i] = pattern_enc[plen - 1 - i];
+        pr_raw[i] = pattern_raw[plen - 1 - i];
+    }
+    for (int64_t i = 0; i < tlen; i++) {
+        tr_enc[i] = text_enc[tlen - 1 - i];
+        tr_raw[i] = text_raw[tlen - 1 - i];
+    }
+    qh_hirs_ctx_t cx = {
+        pattern_enc, pattern_raw, pr_enc, pr_raw,
+        text_enc, text_raw, tr_enc, tr_raw,
+        plen, tlen, budget,
+    };
+    int64_t cap = plen + tlen;
+    int64_t pos = cap;
+    int64_t status = qh_hirs_rec(&cx, 0, plen, 0, tlen, cutoff_score,
+                                 ops_out, &pos);
+    free(pr_enc); free(pr_raw); free(tr_enc); free(tr_raw);
+    int64_t n = cap - pos;
+    memmove(ops_out, ops_out + pos, (size_t)n);
+    *n_out = n;
+    return status;
+}
+
+/* --------------------------------------------- single-pair public API */
+
+/*
+ * quicked_align semantics over the native runtime (quicked.c:405-437):
+ * algo 0=QUICKED 1=BANDED 2=WINDOWED 3=HIRSCHBERG. Outputs the CIGAR
+ * ops (forward order) and the score (edit score from the CIGAR for
+ * full modes; kernel score for only_score). Returns the status.
+ */
+int64_t qh_align(
+    int64_t algo, const uint8_t *pattern_raw, int64_t plen,
+    const uint8_t *text_raw, int64_t tlen,
+    int64_t only_score, int64_t bandwidth,
+    int64_t window_size, int64_t overlap_size,
+    int64_t hew_thr0, int64_t hew_thr1,
+    int64_t hew_pct0, int64_t hew_pct1,
+    int64_t budget,
+    int64_t *score_out, char *ops_out, int64_t *ops_n_out) {
+    if (plen == 0 || tlen == 0) return -4;  /* QUICKED_EMPTY_SEQUENCE */
+    uint8_t *pe = (uint8_t *)malloc((size_t)plen);
+    uint8_t *te = (uint8_t *)malloc((size_t)tlen);
+    if (!pe || !te) { free(pe); free(te); return -1; }
+    qh_encode_dna(pattern_raw, plen, pe);
+    qh_encode_dna(text_raw, tlen, te);
+    const int64_t max_len = plen > tlen ? plen : tlen;
+    int64_t status = 0, n = 0, score = 0;
+    *ops_n_out = 0;
+
+    if (algo == 1) {            /* BANDED */
+        int64_t cutoff = max_len * bandwidth / 100;
+        if (only_score) {
+            score = qh_banded_score(pe, plen, te, tlen, tlen, cutoff,
+                                    NULL, NULL, NULL, NULL, NULL, NULL);
+        } else {
+            int64_t sc;
+            n = qh_banded_align_full(pe, pattern_raw, plen, te, text_raw,
+                                     tlen, cutoff, ops_out, &sc);
+            if (n < 0) { status = -1; n = 0; }
+        }
+    } else if (algo == 2) {     /* WINDOWED */
+        if (only_score) {
+            int64_t hew;
+            score = qh_windowed_score(pe, pattern_raw, plen, te, text_raw,
+                                      tlen, window_size, overlap_size,
+                                      0, &hew);
+        } else {
+            n = qh_windowed_full(pe, pattern_raw, plen, te, text_raw,
+                                 tlen, window_size, overlap_size, ops_out);
+        }
+    } else if (algo == 3) {     /* HIRSCHBERG */
+        int64_t cutoff = max_len * bandwidth / 100;
+        status = qh_hirschberg(pe, pattern_raw, plen, te, text_raw, tlen,
+                               cutoff, budget, ops_out, &n);
+    } else {                    /* QUICKED */
+        int64_t st1;
+        qh_quicked_one(pattern_raw, plen, text_raw, tlen,
+                       bandwidth, window_size, overlap_size,
+                       hew_thr0, hew_thr1, hew_pct0, hew_pct1,
+                       budget, &score, &st1, ops_out, &n);
+        if (st1 == 1) {
+            /* stage-4 footprint over budget: finish with Hirschberg
+             * under the proven bound (run_quicked ignores its status) */
+            qh_hirschberg(pe, pattern_raw, plen, te, text_raw, tlen,
+                          score, budget, ops_out, &n);
+        }
+        status = 1;             /* QUICKED_WIP (quicked.c:305) */
+    }
+    free(pe); free(te);
+    /* extract_results: score from the CIGAR unless only_score */
+    if (!only_score && n > 0) {
+        int64_t edit = 0;
+        for (int64_t i = 0; i < n; i++) edit += (ops_out[i] != 'M');
+        score = edit;
+    }
+    *score_out = score;
+    *ops_n_out = n;
+    return status;
+}

@@ -95,16 +95,17 @@ def flat_shift_up(x, d: int, fill):
     if rem == 0:
         return a
     b = _row_shift_up(x, k + 1, fill)
-    ra = pltpu.roll(a, -rem, axis=x.ndim - 1)
-    rb = pltpu.roll(b, -rem, axis=x.ndim - 1)
+    ra = pltpu.roll(a, LN - rem, axis=x.ndim - 1)
+    rb = pltpu.roll(b, LN - rem, axis=x.ndim - 1)
     return jnp.where(_lane_idx(x.shape) < LN - rem, ra, rb)
 
 
 def shift_up_dyn(x, off, fill):
     """y[i] = x[i + off] for a TRACED off in [0, 128): the window
     alignment shift (the HBM fetch starts at the 128-aligned block)."""
-    a = pltpu.roll(x, -off, axis=x.ndim - 1)
-    b = pltpu.roll(_row_shift_up(x, 1, fill), -off, axis=x.ndim - 1)
+    amt = (LN - off) % LN
+    a = pltpu.roll(x, amt, axis=x.ndim - 1)
+    b = pltpu.roll(_row_shift_up(x, 1, fill), amt, axis=x.ndim - 1)
     return jnp.where(_lane_idx(x.shape) < LN - off, a, b)
 
 
@@ -284,9 +285,14 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     clamp = (nb - prolog + last) >= nbr      # score-only clamp
     last = last - (do_shift & (cut_higher | clamp)).astype(I32)
 
-    # dropped row + scores-window roll
+    # dropped row + scores-window roll. The roll's fill enters at the
+    # LAST flat slot of the padded (R+1, 128) window; filling it with
+    # its own init-formula value keeps every padding slot i at
+    # (i + steps - prolog + 1)*64, so slot EBB always receives exactly
+    # the reference's appended row (nb + 1 + EBB - prolog + 1)*64 as
+    # the padding cascades down.
     dropped_out[0, nb] = scw[0, 0]
-    new_row = ((nb + 1 + EBB - prolog + 1) * W).astype(I32)
+    new_row = (((R + 1) * LN - 1 + nb + 1 - prolog + 1) * W).astype(I32)
     scw[:] = flat_shift_up(scw[:], 1, new_row)
     fl[0] = first
     fl[1] = last
