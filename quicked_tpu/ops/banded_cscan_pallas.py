@@ -129,9 +129,17 @@ def _prefix_carry(a, b, n_row_levels: int):
         ag = jnp.where(lane >= d, ag, fillP)
         bg = jnp.where(lane >= d, bg, fillP)
         a, b = compose_maps(a, b, ag, bg)
-    # row summaries: the full-row map is at lane 127
-    sa = a[..., LN - 1:LN]        # (R, 1)
-    sb = b[..., LN - 1:LN]
+    # row summaries: the full-row map is at lane 127. Extract via a
+    # masked reduction and broadcast back to (R, 128) immediately —
+    # Mosaic cannot concatenate narrow lane-sliced vectors.
+    last_lane = lane == LN - 1
+    # (reduce in int32: Mosaic lacks unsigned reductions)
+    sa = jnp.broadcast_to(
+        jnp.sum(jnp.where(last_lane, a.astype(I32), 0), axis=-1,
+                keepdims=True), a.shape).astype(U32)
+    sb = jnp.broadcast_to(
+        jnp.sum(jnp.where(last_lane, b.astype(I32), 0), axis=-1,
+                keepdims=True), b.shape).astype(U32)
     # exclusive row-tier prefix (row r gets rows < r composed)
     sa = _row_shift_down(sa, 1, P_ST)
     sb = _row_shift_down(sb, 1, P_ST)
@@ -141,8 +149,7 @@ def _prefix_carry(a, b, n_row_levels: int):
         sbg = _row_shift_down(sb, d, P_ST)
         sa, sb = compose_maps(sa, sb, sag, sbg)
     # total prefix: lane-tier map composed after the row-tier prefix
-    a, b = compose_maps(a, b, jnp.broadcast_to(sa, a.shape),
-                        jnp.broadcast_to(sb, b.shape))
+    a, b = compose_maps(a, b, sa, sb)
     # every prefix bottoms out in constant-P, so the P/Z image is the
     # resolved carry-in
     return a
@@ -159,11 +166,11 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
             *, R: int, EBB: int, NB: int, n_row_levels: int):
     b = pl.program_id(0)
     nb = pl.program_id(1)
-    prolog = prolog_ref[0, 0]
-    cutoff = cutoff_ref[0, 0]
-    nbr = nbr_ref[0, 0]
-    finish_v = finishv_ref[0, 0]
-    tfinish = tfinish_ref[0, 0]
+    prolog = prolog_ref[0, 0, 0]
+    cutoff = cutoff_ref[0, 0, 0]
+    nbr = nbr_ref[0, 0, 0]
+    finish_v = finishv_ref[0, 0, 0]
+    tfinish = tfinish_ref[0, 0, 0]
 
     blk = _row_idx((R, LN)) * LN + _lane_idx((R, LN))
     blk_s = _row_idx((R + 1, LN)) * LN + _lane_idx((R + 1, LN))
@@ -176,38 +183,48 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
         mv_hi[:] = jnp.zeros((R, LN), U32)
         # scores window init: (k - prolog + 1) * 64 (bpm_reset_search)
         scw[:] = (blk_s - prolog + 1) * W
-        fl[0] = first0_ref[0, 0]
-        fl[1] = last0_ref[0, 0]
+        fl[0] = first0_ref[0, 0, 0]
+        fl[1] = last0_ref[0, 0, 0]
 
-    # fetch the 128-aligned PEQ/level-mask window covering blocks
-    # [nb, nb + R*128): rows nb//128 .. nb//128 + R of the pre-tiled
-    # (B, ALPH, KT, 128) planes, then alignment-shift by nb % 128
+    # fetch the PEQ/level-mask window covering blocks [nb, nb + R*128)
+    # from the pre-tiled (B, ALPH, KT, 128) planes. DMA sublane offsets
+    # must be provably 8-aligned: fetch at nbq8 = 8*(nbq//8) with 8 rows
+    # of slack, slice the window at the dynamic row offset in-kernel,
+    # then alignment-shift by nb % 128 lanes.
     nbq = nb // LN
+    nbq8 = pl.multiple_of((nbq // 8) * 8, 8)
     copies = [
-        pltpu.make_async_copy(peq_lo_hbm.at[b, :, pl.ds(nbq, R + 1), :],
+        pltpu.make_async_copy(peq_lo_hbm.at[b, :, pl.ds(nbq8, R + 9), :],
                               raw_peq_lo, sems.at[0]),
-        pltpu.make_async_copy(peq_hi_hbm.at[b, :, pl.ds(nbq, R + 1), :],
+        pltpu.make_async_copy(peq_hi_hbm.at[b, :, pl.ds(nbq8, R + 9), :],
                               raw_peq_hi, sems.at[1]),
-        pltpu.make_async_copy(lm_lo_hbm.at[b, pl.ds(nbq, R + 1), :],
+        pltpu.make_async_copy(lm_lo_hbm.at[b, pl.ds(nbq8, R + 9), :],
                               raw_lm_lo, sems.at[2]),
-        pltpu.make_async_copy(lm_hi_hbm.at[b, pl.ds(nbq, R + 1), :],
+        pltpu.make_async_copy(lm_hi_hbm.at[b, pl.ds(nbq8, R + 9), :],
                               raw_lm_hi, sems.at[3]),
     ]
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
+    row_off = nbq - nbq8
     off = nb - nbq * LN
-    win_peq_lo[:] = shift_up_dyn(raw_peq_lo[:], off, jnp.uint32(0xFFFFFFFF))
-    win_peq_hi[:] = shift_up_dyn(raw_peq_hi[:], off, jnp.uint32(0xFFFFFFFF))
-    win_lm_lo[:] = shift_up_dyn(raw_lm_lo[:], off, jnp.uint32(0))
-    win_lm_hi[:] = shift_up_dyn(raw_lm_hi[:], off, jnp.uint32(0x80000000))
+    win_peq_lo[:] = shift_up_dyn(
+        raw_peq_lo[:, pl.ds(row_off, R + 1), :], off,
+        jnp.uint32(0xFFFFFFFF))
+    win_peq_hi[:] = shift_up_dyn(
+        raw_peq_hi[:, pl.ds(row_off, R + 1), :], off,
+        jnp.uint32(0xFFFFFFFF))
+    win_lm_lo[:] = shift_up_dyn(
+        raw_lm_lo[pl.ds(row_off, R + 1), :], off, jnp.uint32(0))
+    win_lm_hi[:] = shift_up_dyn(
+        raw_lm_hi[pl.ds(row_off, R + 1), :], off, jnp.uint32(0x80000000))
 
     first = fl[0]
     last = fl[1]
 
     def col_body(j, _):
-        c = text_ref[0, 0, j]
+        c = text_ref[0, 0, 0, j]
         col_act = nb * W + j < tfinish
         eq_lo = win_peq_lo[c, :R]
         eq_hi = win_peq_hi[c, :R]
@@ -291,7 +308,8 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     # (i + steps - prolog + 1)*64, so slot EBB always receives exactly
     # the reference's appended row (nb + 1 + EBB - prolog + 1)*64 as
     # the padding cascades down.
-    dropped_out[0, nb] = scw[0, 0]
+    # (masked reduction: Mosaic has no scalar VMEM loads/stores)
+    dropped_out[0, 0, 0, 0] = jnp.sum(jnp.where(blk_s == 0, scw[:], 0))
     new_row = (((R + 1) * LN - 1 + nb + 1 - prolog + 1) * W).astype(I32)
     scw[:] = flat_shift_up(scw[:], 1, new_row)
     fl[0] = first
@@ -304,8 +322,8 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
         pv_hi_out[0] = pv_hi[:]
         mv_lo_out[0] = mv_lo[:]
         mv_hi_out[0] = mv_hi[:]
-        first_out[0, 0] = first
-        last_out[0, 0] = last
+        first_out[0, 0, 0] = first
+        last_out[0, 0, 0] = last
 
 
 @partial(jax.jit, static_argnames=("R", "EBB", "NB", "n_row_levels",
@@ -317,21 +335,21 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
     B = text.shape[0]
     grid = (B, NB)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
-    smem = pl.BlockSpec((1, 1), lambda b, nb: (b, 0),
+    smem = pl.BlockSpec((1, 1, 1), lambda b, nb: (b, 0, 0),
                         memory_space=pltpu.SMEM)
     out_shapes = (
-        jax.ShapeDtypeStruct((B, NB), jnp.int32),            # dropped
+        jax.ShapeDtypeStruct((B, NB, 1, 1), jnp.int32),      # dropped
         jax.ShapeDtypeStruct((B, R + 1, LN), jnp.int32),     # scw final
         jax.ShapeDtypeStruct((B, R, LN), jnp.uint32),        # pv_lo
         jax.ShapeDtypeStruct((B, R, LN), jnp.uint32),
         jax.ShapeDtypeStruct((B, R, LN), jnp.uint32),
         jax.ShapeDtypeStruct((B, R, LN), jnp.uint32),
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),             # first
-        jax.ShapeDtypeStruct((B, 1), jnp.int32),             # last
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),          # first
+        jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),          # last
     )
     out_specs = (
-        pl.BlockSpec((1, NB), lambda b, nb: (b, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, 1), lambda b, nb: (b, nb, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((1, R + 1, LN), lambda b, nb: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, LN), lambda b, nb: (b, 0, 0),
@@ -342,10 +360,8 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, LN), lambda b, nb: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda b, nb: (b, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda b, nb: (b, 0),
-                     memory_space=pltpu.SMEM),
+        smem,
+        smem,
     )
     return pl.pallas_call(
         partial(_kernel, R=R, EBB=EBB, NB=NB, n_row_levels=n_row_levels),
@@ -353,8 +369,8 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
         interpret=interpret,
         in_specs=[
             hbm, hbm, hbm, hbm,
-            pl.BlockSpec((1, 1, W), lambda b, nb: (b, nb, 0),
-                         memory_space=pltpu.VMEM),            # text
+            pl.BlockSpec((1, 1, 1, W), lambda b, nb: (b, nb, 0, 0),
+                         memory_space=pltpu.SMEM),            # text
             smem, smem, smem, smem, smem, smem, smem,
         ],
         out_specs=out_specs,
@@ -366,10 +382,10 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
             pltpu.VMEM((R, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.int32),  # scw
             pltpu.SMEM((2,), jnp.int32),         # first/last
-            pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),   # raw peq fetch
-            pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),
-            pltpu.VMEM((R + 1, LN), jnp.uint32),         # raw lm fetch
-            pltpu.VMEM((R + 1, LN), jnp.uint32),
+            pltpu.VMEM((ALPH, R + 9, LN), jnp.uint32),   # raw peq fetch
+            pltpu.VMEM((ALPH, R + 9, LN), jnp.uint32),
+            pltpu.VMEM((R + 9, LN), jnp.uint32),         # raw lm fetch
+            pltpu.VMEM((R + 9, LN), jnp.uint32),
             pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),   # aligned windows
             pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.uint32),
@@ -386,8 +402,8 @@ def stage_cscan_batch(batch: BandedBatch):
     into (B, NB, 64)."""
     B, EBB, NB, K = batch.B, batch.EBB, batch.NB, batch.K
     R = max(-(-EBB // LN), 1)
-    # KT covers the last fetch: rows (NB-1)//128 .. +R inclusive
-    KT = (NB - 1) // LN + R + 1
+    # KT covers the last aligned fetch: rows nbq8 .. nbq8 + R + 9
+    KT = (NB - 1) // LN + R + 9
 
     def tile_rows(a, fill):
         # (K, ..., B) -> (B, ..., KT, 128)
@@ -415,10 +431,11 @@ def stage_cscan_batch(batch: BandedBatch):
     lm_lo = prep_lm(batch.lm_lo, 0)
     lm_hi = prep_lm(batch.lm_hi, 0x80000000)
     text = np.ascontiguousarray(
-        np.transpose(batch.text.reshape(NB, W, B), (2, 0, 1)))
+        np.transpose(batch.text.reshape(NB, W, B), (2, 0, 1))
+    ).reshape(B, NB, 1, W)
 
     def col(v):
-        return np.asarray(v, dtype=np.int32).reshape(B, 1)
+        return np.asarray(v, dtype=np.int32).reshape(B, 1, 1)
 
     args = dict(
         peq_lo=jnp.asarray(peq_lo), peq_hi=jnp.asarray(peq_hi),
@@ -456,7 +473,7 @@ def collect_cscan(out, statics):
     dropped, scw, pv_lo, pv_hi, mv_lo, mv_hi, first, last = \
         [np.asarray(o) for o in out]
     scores_by_k = np.empty((K + 1, B), dtype=np.int32)
-    scores_by_k[:NB] = dropped.T
+    scores_by_k[:NB] = dropped.reshape(B, NB).T
     tail = scw.reshape(B, (R + 1) * LN)[:, :K + 1 - NB]
     scores_by_k[NB:] = tail.T
 

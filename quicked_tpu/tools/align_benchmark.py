@@ -7,9 +7,11 @@ Batch aligner/benchmark over `.seq` files: same flags, TSV output formats
 TPU-native re-design: instead of the reference's per-pair loop + OpenMP
 batches (align_benchmark.c:232-306), pairs are streamed in batches
 through the batched device kernels; `--batch-size` controls the stream
-granularity. The reference's `edlib` comparison algorithm is not
-vendored; the exact-score oracle for `--check score|alignment` is our
-full-band Myers model (equivalent ground truth).
+granularity. The `--check score|alignment` ground truth and the
+`-a edlib` comparison algorithm run through an INDEPENDENT edlib oracle
+(tools/oracle_src/edlib_oracle.cpp, built against the reference's
+vendored edlib) when available, falling back to the repo's exact DP for
+scores.
 """
 
 from __future__ import annotations
@@ -38,7 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", "-i", required=True)
     p.add_argument("--output", "-o", default=None)
     p.add_argument("--output-full", default=None)
-    p.add_argument("--bandwidth", type=int, default=15)
+    # default None resolves per-algorithm (align_benchmark_params.c:
+    # 268-312): 15 for the quicked family, unbanded (-1) for edlib
+    p.add_argument("--bandwidth", type=int, default=None)
     p.add_argument("--window-size", type=int, default=9)
     p.add_argument("--overlap-size", type=int, default=1)
     p.add_argument("--hew-threshold", type=int, default=40)
@@ -109,12 +113,24 @@ def _align_bpm_batch(pairs, only_score):
 
 
 def _exact_oracle(p, t):
-    """Ground truth (score, ops) — replaces the reference's edlib oracle
-    (benchmark_check.c:117-158)."""
+    """Fallback ground truth (score, ops) via the exact DP when the
+    edlib oracle shim is unavailable."""
     from quicked_tpu.ops import edit_dp
 
     D = edit_dp.edit_dp_matrix(p, t)
     return int(D[-1, -1]), edit_dp.edit_dp_traceback(D, p, t)
+
+
+def _truth_batch(pairs):
+    """Ground truth [(score, ops)] for --check score|alignment: the
+    INDEPENDENT edlib oracle (benchmark_check.c:117-158 semantics,
+    unbanded) when available, else the exact DP."""
+    from quicked_tpu.tools._edlib_oracle import edlib_batch
+
+    res = edlib_batch(pairs, bandwidth=-1)
+    if res is not None:
+        return [(sc, Cigar.from_rle(cig).operations) for sc, cig in res]
+    return [_exact_oracle(p, t) for p, t in pairs]
 
 
 class CheckStats:
@@ -134,8 +150,11 @@ class CheckStats:
         self.align_del = Counter()
 
 
-def _check_pair(mode, pattern, text, score, cigar_rle, stats, verbose):
-    """benchmark_check_alignment semantics (benchmark_check.c:33-158)."""
+def _check_pair(mode, pattern, text, score, cigar_rle, stats, verbose,
+                truth=None):
+    """benchmark_check_alignment semantics (benchmark_check.c:33-158).
+    `truth` is a precomputed (score, ops) oracle tuple (edlib when the
+    shim is available)."""
     stats.align.add(1)
     ops = Cigar.from_rle(cigar_rle).operations if cigar_rle else None
     if ops is not None:
@@ -157,7 +176,8 @@ def _check_pair(mode, pattern, text, score, cigar_rle, stats, verbose):
     else:
         stats.align_correct.add(1)
     if mode in ("score", "alignment"):
-        true_score, true_ops = _exact_oracle(pattern, text)
+        true_score, true_ops = (truth if truth is not None
+                                else _exact_oracle(pattern, text))
         stats.align_score.add(1 if score == true_score else 0)
         stats.align_score_total.add(true_score)
         stats.align_score_diff.add(abs(score - true_score))
@@ -171,9 +191,16 @@ def _check_pair(mode, pattern, text, score, cigar_rle, stats, verbose):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.algorithm == "edlib":
-        print("ERROR: edlib is not vendored in the TPU build; use "
-              "edit-dp/edit-bpm as exact baselines", file=sys.stderr)
-        return 1
+        from quicked_tpu.tools._edlib_oracle import find_edlib_oracle
+
+        if find_edlib_oracle() is None:
+            print("ERROR: the edlib oracle shim is unavailable (no "
+                  "reference checkout / C++ toolchain); use "
+                  "edit-dp/edit-bpm as exact baselines", file=sys.stderr)
+            return 1
+    if args.bandwidth is None:
+        # per-algorithm resolution (align_benchmark_params.c:268-312)
+        args.bandwidth = -1 if args.algorithm == "edlib" else 15
 
     import os
     if not os.path.exists(args.input):
@@ -232,7 +259,17 @@ def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
     from quicked_tpu.aligner.batch import align_batch_full
     from quicked_tpu.aligner.cascade import quicked_cascade_batch
 
-    if args.algorithm in ("edit-dp", "edit-dp-banded"):
+    if args.algorithm == "edlib":
+        from quicked_tpu.tools._edlib_oracle import edlib_batch
+
+        res = edlib_batch(pairs, bandwidth=args.bandwidth)
+        if res is None:
+            print("ERROR: edlib oracle failed", file=sys.stderr)
+            raise SystemExit(1)
+        scores = [r[0] for r in res]
+        cigars = [r[1] for r in res]
+        statuses = [0] * len(pairs)
+    elif args.algorithm in ("edit-dp", "edit-dp-banded"):
         results = _align_oracle_batch(
             pairs, args.only_score,
             banded=args.algorithm == "edit-dp-banded",
@@ -257,6 +294,10 @@ def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
         res = align_batch_full(pairs, params)
         scores, cigars, statuses = res.score, res.cigar, res.status
 
+    truths = None
+    if stats is not None and args.check in ("score", "alignment"):
+        truths = _truth_batch(pairs)
+
     for i, (pattern, text) in enumerate(pairs):
         err = int(statuses[i]) < 0 if statuses is not None else False
         if out_file:
@@ -278,7 +319,8 @@ def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
             print(c.print_pretty(pattern, text), file=sys.stderr)
         if stats is not None and not err:
             _check_pair(args.check, pattern, text, int(scores[i]),
-                        cigars[i], stats, args.verbose)
+                        cigars[i], stats, args.verbose,
+                        truth=truths[i] if truths else None)
 
     total = already + len(pairs)
     if args.progress and total // args.progress > already // args.progress \

@@ -52,6 +52,31 @@ def oracle_path(name: str) -> str | None:
     return None
 
 
+def edlib_oracle_path() -> str | None:
+    """Path to the edlib_oracle shim (tools/oracle_src/edlib_oracle.cpp
+    built against the reference's vendored edlib), building on first
+    use; None if unavailable."""
+    p = os.path.join(ORACLE_BIN, "edlib_oracle")
+    if os.path.exists(p):
+        return p
+    if oracle_path("align_benchmark") is None:   # ensures the build tree
+        return None
+    src = os.path.join(REPO, "tools", "oracle_src", "edlib_oracle.cpp")
+    inc = os.path.join(REPO, ".oracle", "src", "tools", "align_benchmark",
+                       "external", "edlib", "edlib", "include")
+    lib = os.path.join(REPO, ".oracle", "build2", "lib", "libedlib.a")
+    if not (os.path.exists(src) and os.path.exists(inc)
+            and os.path.exists(lib)):
+        return None
+    try:
+        os.makedirs(ORACLE_BIN, exist_ok=True)
+        subprocess.run(["g++", "-O2", "-I", inc, "-o", p, src, lib],
+                       check=True, capture_output=True)
+        return p
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
 def run_align_benchmark(algorithm: str, seq_path: str, out_path: str,
                         extra_args: list[str] | None = None) -> str:
     """Run the oracle align_benchmark, return the output file contents."""

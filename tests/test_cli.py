@@ -80,12 +80,18 @@ def test_cli_output_full_parity(dataset, tmp_path):
         assert f1.read() == f2.read()
 
 
-def test_cli_edlib_unsupported(dataset):
+def test_cli_edlib(dataset):
+    # with the oracle shim available, -a edlib runs (byte parity is
+    # covered by test_edlib_oracle); without it, a clear error
     r = subprocess.run(
-        [sys.executable, CLI, "-a", "edlib", "-i", dataset],
-        capture_output=True, text=True, timeout=120, env=_env())
-    assert r.returncode == 1
-    assert "edlib" in r.stderr
+        [sys.executable, CLI, "-a", "edlib", "-i", dataset, "-q"],
+        capture_output=True, text=True, timeout=300, env=_env())
+    from tests import oracle
+    if oracle.edlib_oracle_path() is None:
+        assert r.returncode == 1
+        assert "edlib" in r.stderr
+    else:
+        assert r.returncode == 0
 
 
 def test_generate_dataset_format(tmp_path):
