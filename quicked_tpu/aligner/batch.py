@@ -75,7 +75,13 @@ WAVEFRONT_MIN_EBB = 48
 WAVEFRONT_MAX_B = 256
 
 
-PALLAS_MAX_EBB = 128  # VMEM budget bound for the Mosaic kernel
+PALLAS_MAX_EBB = 128  # VMEM budget bound for the pairs-as-lanes kernel
+
+# Carry-scan kernel bounds: one pair per grid row, all band blocks in
+# parallel — the deep-band / tiny-batch regime where pairs-as-lanes
+# starves the VPU. Beyond PALLAS_MAX_EBB it is the only device kernel.
+CSCAN_MIN_EBB = 48
+CSCAN_MAX_B = 32
 
 
 def _run_banded_auto(batch):
@@ -91,13 +97,27 @@ def _run_banded_auto(batch):
                                                        run_banded_native)
             if native_available() and batch.enc_patterns is not None:
                 return run_banded_native(batch)
+        if platform == "tpu":
+            import os
+            deep = batch.EBB > PALLAS_MAX_EBB or \
+                (batch.B <= CSCAN_MAX_B and batch.EBB >= CSCAN_MIN_EBB)
+            # QUICKED_TPU_CSCAN=0 opts the deep-band Mosaic kernel out
+            # (falls back to the XLA wavefront scan)
+            if deep and os.environ.get("QUICKED_TPU_CSCAN", "1") != "0":
+                from quicked_tpu.ops.banded_cscan_pallas import (
+                    run_banded_cscan_pallas,
+                )
+                return run_banded_cscan_pallas(batch)
+            if deep:
+                from quicked_tpu.ops.banded_wavefront_jax import (
+                    run_banded_wavefront,
+                )
+                return run_banded_wavefront(batch)
+            from quicked_tpu.ops.banded_pallas import run_banded_pallas
+            return run_banded_pallas(batch)
         if batch.EBB >= WAVEFRONT_MIN_EBB and batch.B <= WAVEFRONT_MAX_B:
             from quicked_tpu.ops.banded_wavefront_jax import run_banded_wavefront
             return run_banded_wavefront(batch)
-        from quicked_tpu.ops.banded_pallas import (pallas_available,
-                                                   run_banded_pallas)
-        if platform == "tpu" and batch.EBB <= PALLAS_MAX_EBB:
-            return run_banded_pallas(batch)
     return run_banded(batch)
 
 
@@ -205,12 +225,27 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
     return scores, ops_out
 
 
+@dataclasses.dataclass
+class BandedScoreState:
+    """Per-pair band state in the kernels' native numpy form — consumed
+    by myers_np.hirschberg_split_fast without per-element conversion."""
+
+    score: int
+    pv64: np.ndarray        # (ebb,) uint64 band words
+    mv64: np.ndarray
+    first: int
+    last: int
+    scores_k: np.ndarray    # (K+1,) shifted-row scores
+    prolog: int
+    geometry: myers_np.BandGeometry
+
+
 def banded_score_results(patterns, texts, cutoffs, text_finish=None,
                          min_lanes: int = 8):
     """Score-only banded runs returning the full per-pair band state the
-    Hirschberg driver consumes (myers_np.BandedScoreResult), through the
-    device kernel. `text_finish` stops each lane at its midpoint while the
-    band is sized for the full text (bpm_hirschberg.c:85-100)."""
+    Hirschberg driver consumes, through the device kernel.
+    `text_finish` stops each lane at its midpoint while the band is
+    sized for the full text (bpm_hirschberg.c:85-100)."""
     n = len(patterns)
     plens = [len(p) for p in patterns]
     tlens = [len(t) for t in texts]
@@ -237,23 +272,22 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
             pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
         out = _run_banded_auto(batch)
         final_scores = extract_final_scores(batch, out["scores_by_k"])
-        # vectorised 64-bit reassembly + one tolist() per plane: the
-        # per-element int() loop was the Hirschberg driver's per-level
-        # host overhead
-        pv64 = (out["pv_lo"].astype(np.uint64)
-                | (out["pv_hi"].astype(np.uint64) << np.uint64(32))).T.tolist()
-        mv64 = (out["mv_lo"].astype(np.uint64)
-                | (out["mv_hi"].astype(np.uint64) << np.uint64(32))).T.tolist()
-        sck = out["scores_by_k"].T.tolist()
-        n_rows = out["scores_by_k"].shape[0]
+        # one vectorised 64-bit reassembly + transpose for the batch;
+        # per-pair rows are then contiguous views
+        pv64 = np.ascontiguousarray(
+            (out["pv_lo"].astype(np.uint64)
+             | (out["pv_hi"].astype(np.uint64) << np.uint64(32))).T)
+        mv64 = np.ascontiguousarray(
+            (out["mv_lo"].astype(np.uint64)
+             | (out["mv_hi"].astype(np.uint64) << np.uint64(32))).T)
+        sck = np.ascontiguousarray(np.asarray(out["scores_by_k"]).T)
         for j, i in enumerate(idxs):
-            prolog = int(batch.prolog[j])
-            sc = dict(zip(range(-prolog, n_rows - prolog), sck[j]))
             geo = myers_np.band_geometry(plens[i], tlens[i], int(cutoffs[i]))
-            results[i] = myers_np.BandedScoreResult(
-                score=int(final_scores[j]), Pv=pv64[j], Mv=mv64[j],
-                scores=sc, lower_block=int(out["first"][j]),
-                higher_block=int(out["last"][j]), geometry=geo)
+            results[i] = BandedScoreState(
+                score=int(final_scores[j]), pv64=pv64[j], mv64=mv64[j],
+                first=int(out["first"][j]), last=int(out["last"][j]),
+                scores_k=sck[j], prolog=int(batch.prolog[j]),
+                geometry=geo)
     return results
 
 

@@ -670,6 +670,99 @@ def hirschberg_split(fwd: BandedScoreResult, rev: BandedScoreResult,
     return pattern_len_left, score_l, score_r
 
 
+def hirschberg_split_fast(pv64: np.ndarray, mv64: np.ndarray,
+                          f_first: int, f_last: int,
+                          scores_k: np.ndarray,
+                          r_pv64: np.ndarray, r_mv64: np.ndarray,
+                          r_first: int, r_last: int,
+                          r_scores_k: np.ndarray,
+                          prolog: int,
+                          pattern_len: int, text_len: int,
+                          geo: BandGeometry):
+    """Vectorised hirschberg_split over the batched kernels' native
+    outputs: pv64/mv64 are (ebb,) uint64 band words, scores_k the
+    (K+1,) shifted-row score vectors (row k = absolute block row
+    k - prolog; untouched rows hold the init formula, which equals the
+    reference's out-of-dict default block_ref*64).
+
+    Bit-identical to hirschberg_split (first-argmin preserved by
+    np.argmin); the per-cell Python loops were the Hirschberg driver's
+    per-level host cost on long reads.
+    """
+    W_ = W
+    text_mid = (text_len + 1) // 2
+    text_mid_r = text_len - text_mid
+    fb_pos_v = 0 if text_mid < prolog * W_ else (text_mid // W_) - prolog
+    fb_pos_v_r = 0 if text_mid_r < prolog * W_ else (text_mid_r // W_) - prolog
+
+    bottom_pos = f_first * W_ + 63 + fb_pos_v * W_
+    bottom_pos_r = (pattern_len - 1) - (r_last * W_ + 63 + fb_pos_v_r * W_)
+    higher_pos = f_last * W_ + 63 + fb_pos_v * W_
+    higher_pos_r = (pattern_len - 1) - (r_first * W_ + 63 + fb_pos_v_r * W_)
+
+    if bottom_pos > higher_pos_r or bottom_pos_r > higher_pos:
+        return None
+
+    if bottom_pos > bottom_pos_r:
+        bottom_cell = f_first * W_ + 63
+        starting_pos = bottom_pos
+    else:
+        bottom_cell = bottom_pos_r - fb_pos_v * W_
+        starting_pos = bottom_pos_r
+    if higher_pos < higher_pos_r:
+        higher_cell = f_last * W_ + 63
+        higher_cell_r = (pattern_len - 1) - higher_pos - fb_pos_v_r * W_
+    else:
+        higher_cell = higher_pos_r - fb_pos_v * W_
+        higher_cell_r = r_first * W_ + 63
+    n_cells = higher_cell - bottom_cell + 2
+
+    def cell_cumsum(pv, mv, start):
+        idx = start + np.arange(n_cells, dtype=np.int64)
+        blocks = idx >> 6
+        cells = (idx & 63).astype(np.uint64)
+        ok = (blocks >= 0) & (blocks < len(pv))
+        blk = np.clip(blocks, 0, max(len(pv) - 1, 0))
+        pv_b = ((pv[blk] >> cells) & np.uint64(1)).astype(np.int64)
+        mv_b = ((mv[blk] >> cells) & np.uint64(1)).astype(np.int64)
+        # out-of-range words: reset-value semantics (Pv=1, Mv=0)
+        step = np.where(ok, pv_b - mv_b, 1)
+        out = np.empty(n_cells + 1, dtype=np.int64)
+        out[0] = 0
+        np.cumsum(step, out=out[1:])
+        return out
+
+    cs = cell_cumsum(pv64, mv64, bottom_cell)
+    csr = cell_cumsum(r_pv64, r_mv64, higher_cell_r)
+
+    joint = csr[n_cells - 1::-1][:n_cells] + cs[:n_cells]
+    smaller_pos = int(np.argmin(joint))      # first minimum
+    pattern_len_left = starting_pos + smaller_pos
+
+    def _cs(arr, idx):
+        return int(arr[min(max(idx, 0), n_cells)])
+
+    def _score_row(sk, row):
+        # scores_k row (row + prolog); absent rows = (row + 1) * 64
+        r = row + prolog
+        if 0 <= r < len(sk):
+            return int(sk[r])
+        return (row + 1) * W_
+
+    block_ref = div_ceil(pattern_len_left, W_) - (
+        1 if n_cells < smaller_pos + W_ else 0)
+    score_pos_l = block_ref * W_ - (bottom_cell + fb_pos_v * W_)
+    score_l = int(cs[smaller_pos]) - _cs(cs, score_pos_l) + \
+        _score_row(scores_k, block_ref - 1)
+    pattern_len_right = pattern_len - pattern_len_left
+    block_ref_r = div_ceil(pattern_len_right, W_) - (
+        1 if smaller_pos < W_ else 0)
+    score_pos_r = block_ref_r * W_ - (higher_cell_r + fb_pos_v_r * W_)
+    score_r = _cs(csr, n_cells - 1 - smaller_pos) - \
+        _cs(csr, score_pos_r) + _score_row(r_scores_k, block_ref_r - 1)
+    return pattern_len_left, score_l, score_r
+
+
 def _hirschberg_rec(text: str, pattern: str, cutoff_score: int,
                     segments: list[str]) -> QuickedStatus:
     text_len = len(text)

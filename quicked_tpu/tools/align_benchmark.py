@@ -52,9 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="score-only mode (no CIGAR computation)")
     p.add_argument("--check", "-c", default=None,
                    choices=("display", "correct", "score", "alignment"))
-    p.add_argument("--num-threads", "-t", type=int, default=1,
-                   help="accepted for parity; device batching replaces "
-                        "host threads")
+    p.add_argument("--num-threads", "-t", type=int, default=None,
+                   help="host worker threads for the native kernel lanes "
+                        "(default: all cores; device batching covers the "
+                        "accelerator side)")
     p.add_argument("--batch-size", type=int, default=10000)
     p.add_argument("--progress", "-P", type=int, default=100000)
     p.add_argument("--verbose", "-v", nargs="?", const=1, type=int,
@@ -201,6 +202,13 @@ def main(argv=None) -> int:
     if args.bandwidth is None:
         # per-algorithm resolution (align_benchmark_params.c:268-312)
         args.bandwidth = -1 if args.algorithm == "edlib" else 15
+    if args.num_threads is not None:
+        # the host-thread knob of the reference's OpenMP batch loop
+        # (--num-threads, align_benchmark.c:232-306): caps the native
+        # kernels' worker pools
+        import os as _os
+        _os.environ["QUICKED_TPU_CPU_THREADS"] = str(max(args.num_threads,
+                                                         1))
 
     import os
     if not os.path.exists(args.input):

@@ -103,6 +103,7 @@ def test_batched_driver_partial_matches_model_on_injected_failure(
 
     # Pass 1: record every split's (plen, tlen) in DFS order.
     real_split = myers_np.hirschberg_split
+    real_fast = myers_np.hirschberg_split_fast
     seen = []
 
     def recording(fwd, rev, plen, tlen, geo):
@@ -124,7 +125,15 @@ def test_batched_driver_partial_matches_model_on_injected_failure(
             return None
         return real_split(fwd, rev, plen, tlen, geo)
 
+    def injected_fast(pv, mv, first, last, sk, rpv, rmv, rfirst, rlast,
+                      rsk, prolog, plen, tlen, geo):
+        if (plen, tlen) == target:
+            return None
+        return real_fast(pv, mv, first, last, sk, rpv, rmv, rfirst,
+                         rlast, rsk, prolog, plen, tlen, geo)
+
     monkeypatch.setattr(myers_np, "hirschberg_split", injected)
+    monkeypatch.setattr(myers_np, "hirschberg_split_fast", injected_fast)
     st_model, ops_model = myers_np.hirschberg(txt, pat, 65)
     res = hirschberg_batch([txt], [pat], [65])
     assert int(st_model) < 0
