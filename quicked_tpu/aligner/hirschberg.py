@@ -75,10 +75,21 @@ def hirschberg_batch(texts, patterns, cutoffs):
             cos = [t[4] for t in split]
             mids = [(len(t[2]) + 1) // 2 for t in split]
             mids_r = [len(t[2]) - m for t, m in zip(split, mids)]
-            fwd = banded_score_results(pats, txts, cos, text_finish=mids)
-            rev = banded_score_results([p[::-1] for p in pats],
-                                       [t[::-1] for t in txts], cos,
-                                       text_finish=mids_r)
+            # the forward and reverse half passes are independent; on
+            # the host-kernel path they run concurrently (ctypes
+            # releases the GIL), halving the per-level wall time for
+            # single long pairs (bpm_hirschberg.c:84-100)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_fwd = ex.submit(banded_score_results, pats, txts, cos,
+                                  text_finish=mids)
+                f_rev = ex.submit(banded_score_results,
+                                  [p[::-1] for p in pats],
+                                  [t[::-1] for t in txts], cos,
+                                  text_finish=mids_r)
+                fwd = f_fwd.result()
+                rev = f_rev.result()
             for t, f, r, mid in zip(split, fwd, rev, mids):
                 i, path, text, pattern, cutoff = t
                 geo = myers_np.band_geometry(len(pattern), len(text), cutoff)

@@ -29,16 +29,21 @@ _i64 = ctypes.c_int64
 
 
 def _build() -> bool:
+    # -march=native roughly doubles the SIMD banded kernel (the GCC
+    # vector extensions widen to AVX2); fall back to the portable build
+    # on toolchains that reject it
+    variants = (["-O3", "-march=native"], ["-O3"])
     for cc in ("cc", "gcc", "clang"):
-        try:
-            subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-pthread", "-o",
-                 _LIB_PATH, _SRC],
-                check=True, capture_output=True, timeout=120)
-            return True
-        except (subprocess.CalledProcessError, FileNotFoundError,
-                subprocess.TimeoutExpired):
-            continue
+        for flags in variants:
+            try:
+                subprocess.run(
+                    [cc, *flags, "-shared", "-fPIC", "-pthread", "-o",
+                     _LIB_PATH, _SRC],
+                    check=True, capture_output=True, timeout=120)
+                return True
+            except (subprocess.CalledProcessError, FileNotFoundError,
+                    subprocess.TimeoutExpired):
+                continue
     return False
 
 

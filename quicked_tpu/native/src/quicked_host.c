@@ -234,6 +234,89 @@ static inline int64_t qh_div_ceil(int64_t a, int64_t b) {
     return (a + b - 1) / b;
 }
 
+/* 4 x 64-bit SIMD lanes (GCC portable vector extensions; compiles to
+ * AVX2 on x86, NEON pairs elsewhere, scalar code as a last resort). */
+typedef uint64_t qh_v4u64 __attribute__((vector_size(32)));
+typedef int64_t qh_v4i64 __attribute__((vector_size(32)));
+
+/*
+ * Anti-diagonal 4-column pipeline over the live band: lane j advances
+ * column c+j at block first + t - j during wavefront step t, so the
+ * PHin/MHin carries stay in-lane (same column, previous block) and the
+ * Pv/Mv values flow one lane per step (same block, previous column).
+ * Identical dataflow to the scalar loop — only independent (column,
+ * block) cells are reordered — so results are bit-exact.
+ *
+ * Processes columns [t0, t0+4) over blocks [first, last]; scores are
+ * accumulated per block row like the scalar loop.
+ */
+static inline void qh_banded_cols4(
+    const uint64_t *peq, int64_t nw, uint64_t lm_last, int64_t mod,
+    const uint8_t *text_enc, int64_t t0,
+    uint64_t *Pv, uint64_t *Mv, int64_t *sc,
+    int64_t first, int64_t last, int64_t pos_v, int64_t prolog) {
+    const int c0 = text_enc[t0], c1 = text_enc[t0 + 1];
+    const int c2 = text_enc[t0 + 2], c3 = text_enc[t0 + 3];
+    const int cols[4] = {c0, c1, c2, c3};
+    const int64_t span = last - first + 1;
+    qh_v4u64 pv = {0, 0, 0, 0}, mv = {0, 0, 0, 0};
+    qh_v4u64 phin = {0, 0, 0, 0}, mhin = {0, 0, 0, 0};
+    qh_v4u64 eqv = {0, 0, 0, 0}, lmv = {0, 0, 0, 0};
+    for (int64_t t = 0; t < span + 3; t++) {
+        /* shift pipelines one lane; lane 0 loads the entering block */
+        pv = __builtin_shuffle(pv, (qh_v4u64){0, 0, 1, 2});
+        mv = __builtin_shuffle(mv, (qh_v4u64){0, 0, 1, 2});
+        eqv = __builtin_shuffle(eqv, (qh_v4u64){0, 0, 1, 2});
+        lmv = __builtin_shuffle(lmv, (qh_v4u64){0, 0, 1, 2});
+        if (t < span) {
+            const int64_t i0 = first + t;
+            const int64_t row0 = i0 + pos_v;
+            pv[0] = Pv[i0];
+            mv[0] = Mv[i0];
+            eqv[0] = (row0 < nw) ? peq[row0 * 5 + c0] : ~0ULL;
+            lmv[0] = (row0 == nw - 1 && mod) ? lm_last : (1ULL << 63);
+        }
+        /* lanes entering their first block: PHin=1, MHin=0 */
+        if (t < 4) { phin[t] = 1; mhin[t] = 0; }
+        /* per-lane Eq: lanes 1..3 reuse the shifted PEQ words only when
+         * their column chars match lane 0's; reload otherwise */
+        for (int j = 1; j < 4; j++) {
+            if (cols[j] != cols[j - 1]) {
+                const int64_t i = first + t - j;
+                if (i >= first && i <= last) {
+                    const int64_t row = i + pos_v;
+                    eqv[j] = (row < nw) ? peq[row * 5 + cols[j]] : ~0ULL;
+                }
+            }
+        }
+        const qh_v4u64 xv = eqv | mv;
+        const qh_v4u64 eq2 = eqv | mhin;
+        const qh_v4u64 xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+        qh_v4u64 ph = mv | ~(xh | pv);
+        qh_v4u64 mh = pv & xh;
+        const qh_v4u64 phout = ((qh_v4u64)((ph & lmv) != 0)) & 1;
+        const qh_v4u64 mhout = ((qh_v4u64)((mh & lmv) != 0)) & 1;
+        ph = (ph << 1) | phin;
+        mh = (mh << 1) | mhin;
+        pv = mh | ~(xv | ph);
+        mv = ph & xv;
+        phin = phout;
+        mhin = mhout;
+        /* per-lane score updates for active lanes */
+        const int64_t jlo = (t - span + 1) > 0 ? (t - span + 1) : 0;
+        const int64_t jhi = t < 3 ? t : 3;
+        for (int64_t j = jlo; j <= jhi; j++) {
+            const int64_t row = first + t - j + pos_v;
+            sc[row + prolog] += (int64_t)phout[j] - (int64_t)mhout[j];
+        }
+        /* lane 3 retires its block to memory */
+        if (t >= 3 && t - 3 < span) {
+            Pv[first + t - 3] = pv[3];
+            Mv[first + t - 3] = mv[3];
+        }
+    }
+}
+
 int64_t qh_banded_score(
     const uint8_t *pattern_enc, int64_t plen,
     const uint8_t *text_enc, int64_t text_finish,
@@ -286,10 +369,18 @@ int64_t qh_banded_score(
     int64_t pos_v = -prolog, pos_h = 0;
     int64_t first = prolog, last = ebb - 1;
 
+    const uint64_t lm_last_w = mod ? (1ULL << (mod - 1)) : 0;
     int64_t text_block = text_finish / QH_W;
     for (int64_t k = 0; k <= text_block; k++) {
         int64_t t_end = (k < text_block) ? (k + 1) * QH_W : text_finish;
-        for (int64_t t = k * QH_W; t < t_end; t++) {
+        int64_t t = k * QH_W;
+        if (t_end - t == QH_W && last - first >= 5) {
+            /* SIMD anti-diagonal pipeline, 4 columns per pass */
+            for (; t < t_end; t += 4)
+                qh_banded_cols4(peq, nw, lm_last_w, mod, text_enc, t,
+                                Pv, Mv, sc, first, last, pos_v, prolog);
+        }
+        for (; t < t_end; t++) {
             const int c = text_enc[t];
             uint64_t phin = 1, mhin = 0;
             for (int64_t i = first; i <= last; i++) {
