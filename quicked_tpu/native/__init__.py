@@ -306,26 +306,25 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
     if n_threads is None:
         n_threads = int(os.environ.get("QUICKED_TPU_CPU_THREADS",
                                        os.cpu_count() or 1))
-    enc = []
-    for i in range(n):
-        p, t = patterns[i], texts[i]
-        pb = p.encode("ascii", "replace") if isinstance(p, str) else \
-            np.asarray(p, dtype=np.uint8).tobytes()
-        tb = t.encode("ascii", "replace") if isinstance(t, str) else \
-            np.asarray(t, dtype=np.uint8).tobytes()
-        enc.append((pb, tb))
+    def as_bytes(s):
+        return (s.encode("ascii", "replace") if isinstance(s, str)
+                else np.asarray(s, dtype=np.uint8).tobytes())
+
+    pats_b = [as_bytes(p) for p in patterns]
+    txts_b = [as_bytes(t) for t in texts]
     lengths = np.empty(2 * n, dtype=np.int64)
-    lengths[0::2] = [len(pb) for pb, _ in enc]
-    lengths[1::2] = [len(tb) for _, tb in enc]
+    lengths[0::2] = np.fromiter(map(len, pats_b), np.int64, n)
+    lengths[1::2] = np.fromiter(map(len, txts_b), np.int64, n)
     offsets = np.zeros(2 * n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
-    buf = b"".join(b for pair in enc for b in pair)
+    buf = b"".join(b for pair in zip(pats_b, txts_b) for b in pair)
     pair_caps = lengths[0::2] + lengths[1::2]
     ops_off = np.zeros(n, dtype=np.int64)
     if n > 1:
         np.cumsum(pair_caps[:-1], out=ops_off[1:])
     total_cap = int(pair_caps.sum())
-    ops_buf = ctypes.create_string_buffer(max(total_cap, 1))
+    ops_arr = np.empty(max(total_cap, 1), dtype=np.uint8)
+    ops_buf = ops_arr.ctypes.data_as(ctypes.c_char_p)
     scores = np.zeros(n, dtype=np.int64)
     status = np.zeros(n, dtype=np.int64)
     ops_len = np.zeros(n, dtype=np.int64)
@@ -347,16 +346,18 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
         out_off = np.zeros(n, dtype=np.int64)
         if n > 1:
             np.cumsum(out_caps[:-1], out=out_off[1:])
-        out_buf = ctypes.create_string_buffer(max(int(out_caps.sum()), 1))
+        out_arr = np.empty(max(int(out_caps.sum()), 1), dtype=np.uint8)
         out_len = np.zeros(n, dtype=np.int64)
-        lib.qh_cigar_sprint_batch(ops_buf, arr(ops_off), arr(ops_len), n,
-                                  1, out_buf, arr(out_off), arr(out_len))
-        raw = out_buf.raw
+        lib.qh_cigar_sprint_batch(
+            ops_buf, arr(ops_off), arr(ops_len), n, 1,
+            out_arr.ctypes.data_as(ctypes.c_char_p), arr(out_off),
+            arr(out_len))
+        raw = out_arr.tobytes()
         ops = [raw[int(out_off[i]):int(out_off[i]) + int(out_len[i])]
                .decode("ascii") if status[i] == 0 else None
                for i in range(n)]
         return status, scores, ops
-    raw = ops_buf.raw
+    raw = ops_arr.tobytes()
     ops = [raw[int(ops_off[i]):int(ops_off[i]) + int(ops_len[i])]
            .decode("ascii") if status[i] == 0 else None
            for i in range(n)]
