@@ -226,8 +226,15 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     def col_body(j, _):
         c = text_ref[0, 0, 0, j]
         col_act = nb * W + j < tfinish
-        eq_lo = win_peq_lo[c, :R]
-        eq_hi = win_peq_hi[c, :R]
+        # 5-way masked select on the scalar char (static window reads;
+        # Mosaic's dynamic leading-index loads are avoided in the hot
+        # loop)
+        eq_lo = win_peq_lo[0, :R]
+        eq_hi = win_peq_hi[0, :R]
+        for a in range(1, 5):
+            sel = c == a
+            eq_lo = jnp.where(sel, win_peq_lo[a, :R], eq_lo)
+            eq_hi = jnp.where(sel, win_peq_hi[a, :R], eq_hi)
         lm_lo = win_lm_lo[:R]
         lm_hi = win_lm_hi[:R]
         pvs = (pv_lo[:], pv_hi[:])
