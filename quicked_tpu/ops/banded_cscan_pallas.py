@@ -100,12 +100,23 @@ def flat_shift_up(x, d: int, fill):
     return jnp.where(_lane_idx(x.shape) < LN - rem, ra, rb)
 
 
+def _axis0_shift_up(x, k, fill):
+    """y[r] = x[r+k] along axis 0; vacated rows filled."""
+    if k == 0:
+        return x
+    if k >= x.shape[0]:
+        return jnp.full_like(x, fill)
+    pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[k:], pad], axis=0)
+
+
 def shift_up_dyn(x, off, fill):
-    """y[i] = x[i + off] for a TRACED off in [0, 128): the window
+    """y[i] = x[i + off] for a TRACED off in [0, 128) over the
+    row-major (block-row axis 0, lane axis -1) layout: the window
     alignment shift (the HBM fetch starts at the 128-aligned block)."""
     amt = (LN - off) % LN
     a = pltpu.roll(x, amt, axis=x.ndim - 1)
-    b = pltpu.roll(_row_shift_up(x, 1, fill), amt, axis=x.ndim - 1)
+    b = pltpu.roll(_axis0_shift_up(x, 1, fill), amt, axis=x.ndim - 1)
     return jnp.where(_lane_idx(x.shape) < LN - off, a, b)
 
 
@@ -187,16 +198,16 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
         fl[1] = last0_ref[0, 0, 0]
 
     # fetch the PEQ/level-mask window covering blocks [nb, nb + R*128)
-    # from the pre-tiled (B, ALPH, KT, 128) planes. DMA sublane offsets
+    # from the pre-tiled (B, KT, ALPH, 128) planes. DMA sublane offsets
     # must be provably 8-aligned: fetch at nbq8 = 8*(nbq//8) with 8 rows
     # of slack, slice the window at the dynamic row offset in-kernel,
     # then alignment-shift by nb % 128 lanes.
     nbq = nb // LN
     nbq8 = pl.multiple_of((nbq // 8) * 8, 8)
     copies = [
-        pltpu.make_async_copy(peq_lo_hbm.at[b, :, pl.ds(nbq8, R + 9), :],
+        pltpu.make_async_copy(peq_lo_hbm.at[b, pl.ds(nbq8, R + 9)],
                               raw_peq_lo, sems.at[0]),
-        pltpu.make_async_copy(peq_hi_hbm.at[b, :, pl.ds(nbq8, R + 9), :],
+        pltpu.make_async_copy(peq_hi_hbm.at[b, pl.ds(nbq8, R + 9)],
                               raw_peq_hi, sems.at[1]),
         pltpu.make_async_copy(lm_lo_hbm.at[b, pl.ds(nbq8, R + 9), :],
                               raw_lm_lo, sems.at[2]),
@@ -210,15 +221,13 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     row_off = nbq - nbq8
     off = nb - nbq * LN
     win_peq_lo[:] = shift_up_dyn(
-        raw_peq_lo[:, pl.ds(row_off, R + 1), :], off,
-        jnp.uint32(0xFFFFFFFF))
+        raw_peq_lo[pl.ds(row_off, R + 1)], off, jnp.uint32(0xFFFFFFFF))
     win_peq_hi[:] = shift_up_dyn(
-        raw_peq_hi[:, pl.ds(row_off, R + 1), :], off,
-        jnp.uint32(0xFFFFFFFF))
+        raw_peq_hi[pl.ds(row_off, R + 1)], off, jnp.uint32(0xFFFFFFFF))
     win_lm_lo[:] = shift_up_dyn(
-        raw_lm_lo[pl.ds(row_off, R + 1), :], off, jnp.uint32(0))
+        raw_lm_lo[pl.ds(row_off, R + 1)], off, jnp.uint32(0))
     win_lm_hi[:] = shift_up_dyn(
-        raw_lm_hi[pl.ds(row_off, R + 1), :], off, jnp.uint32(0x80000000))
+        raw_lm_hi[pl.ds(row_off, R + 1)], off, jnp.uint32(0x80000000))
 
     first = fl[0]
     last = fl[1]
@@ -229,12 +238,12 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
         # 5-way masked select on the scalar char (static window reads;
         # Mosaic's dynamic leading-index loads are avoided in the hot
         # loop)
-        eq_lo = win_peq_lo[0, :R]
-        eq_hi = win_peq_hi[0, :R]
+        eq_lo = win_peq_lo[:R, 0]
+        eq_hi = win_peq_hi[:R, 0]
         for a in range(1, 5):
             sel = c == a
-            eq_lo = jnp.where(sel, win_peq_lo[a, :R], eq_lo)
-            eq_hi = jnp.where(sel, win_peq_hi[a, :R], eq_hi)
+            eq_lo = jnp.where(sel, win_peq_lo[:R, a], eq_lo)
+            eq_hi = jnp.where(sel, win_peq_hi[:R, a], eq_hi)
         lm_lo = win_lm_lo[:R]
         lm_hi = win_lm_hi[:R]
         pvs = (pv_lo[:], pv_hi[:])
@@ -389,12 +398,12 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
             pltpu.VMEM((R, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.int32),  # scw
             pltpu.SMEM((2,), jnp.int32),         # first/last
-            pltpu.VMEM((ALPH, R + 9, LN), jnp.uint32),   # raw peq fetch
-            pltpu.VMEM((ALPH, R + 9, LN), jnp.uint32),
+            pltpu.VMEM((R + 9, ALPH, LN), jnp.uint32),   # raw peq fetch
+            pltpu.VMEM((R + 9, ALPH, LN), jnp.uint32),
             pltpu.VMEM((R + 9, LN), jnp.uint32),         # raw lm fetch
             pltpu.VMEM((R + 9, LN), jnp.uint32),
-            pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),   # aligned windows
-            pltpu.VMEM((ALPH, R + 1, LN), jnp.uint32),
+            pltpu.VMEM((R + 1, ALPH, LN), jnp.uint32),   # aligned windows
+            pltpu.VMEM((R + 1, ALPH, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.uint32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -420,12 +429,13 @@ def stage_cscan_batch(batch: BandedBatch):
 
     # peq: (K, 5, B) -> (B, ALPH, KT*128) padded
     def prep_peq(p, fill):
-        arr = np.full((B, ALPH, KT * LN), fill, dtype=np.uint32)
-        src = np.transpose(p, (2, 1, 0))    # (B, 5, K)
-        arr[:, :5, :min(K, KT * LN)] = src[:, :, :min(K, KT * LN)]
-        # alphabet padding rows behave like all-match (never selected)
-        arr[:, 5:, :] = fill
-        return arr.reshape(B, ALPH, KT, LN)
+        # (K, 5, B) -> (B, KT*128 block rows, ALPH): block-row-major so
+        # the per-block DMA is one contiguous leading-dim slice
+        arr = np.full((B, KT * LN, ALPH), fill, dtype=np.uint32)
+        src = np.transpose(p, (2, 0, 1))    # (B, K, 5)
+        m = min(K, KT * LN)
+        arr[:, :m, :5] = src[:, :m, :]
+        return arr.reshape(B, KT, LN, ALPH).transpose(0, 1, 3, 2).copy()
 
     def prep_lm(m, fill):
         arr = np.full((B, KT * LN), fill, dtype=np.uint32)
