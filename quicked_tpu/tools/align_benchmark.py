@@ -153,40 +153,49 @@ class CheckStats:
 
 def _check_pair(mode, pattern, text, score, cigar_rle, stats, verbose,
                 truth=None):
-    """benchmark_check_alignment semantics (benchmark_check.c:33-158).
-    `truth` is a precomputed (score, ops) oracle tuple (edlib when the
-    shim is available)."""
+    """benchmark_check_alignment_using_solution semantics — counters,
+    early-exit structure, and accumulation bases match the reference
+    exactly (benchmark_check.c:33-113): samples only on success,
+    |computed| score totalled unconditionally, bases = pattern length,
+    each failed stage aborts the later checks. `truth` is a precomputed
+    (score, ops) oracle tuple (edlib when the shim is available)."""
     stats.align.add(1)
+    stats.align_score_total.add(abs(score))
     ops = Cigar.from_rle(cigar_rle).operations if cigar_rle else None
+    # CHECK_CORRECT (all three modes)
     if ops is not None:
         c = Cigar(operations=ops)
-        correct = c.check_alignment(pattern, text)
-        stats.align_correct.add(1 if correct else 0)
-        if not correct and verbose:
-            print("INCORRECT ALIGNMENT", file=sys.stderr)
+        if not c.check_alignment(pattern, text):
+            if verbose:
+                print("INCORRECT ALIGNMENT", file=sys.stderr)
+            return
+        stats.align_correct.add(1)
+        stats.align_bases.add(len(pattern))
         for op in ops:
-            stats.align_bases.add(1)
             if op == "M":
                 stats.align_matches.add(1)
             elif op == "X":
                 stats.align_mismatches.add(1)
             elif op == "I":
                 stats.align_ins.add(1)
-            elif op == "D":
+            else:
                 stats.align_del.add(1)
     else:
         stats.align_correct.add(1)
     if mode in ("score", "alignment"):
         true_score, true_ops = (truth if truth is not None
                                 else _exact_oracle(pattern, text))
-        stats.align_score.add(1 if score == true_score else 0)
-        stats.align_score_total.add(true_score)
-        stats.align_score_diff.add(abs(score - true_score))
-        if score != true_score and verbose:
-            print(f"INACCURATE SCORE computed={score} correct={true_score}",
-                  file=sys.stderr)
+        if score != true_score:
+            if verbose:
+                print(f"INACCURATE SCORE computed={score} "
+                      f"correct={true_score}", file=sys.stderr)
+            stats.align_score_diff.add(abs(score - true_score))
+            return
+        stats.align_score.add(1)
         if mode == "alignment" and ops is not None:
-            stats.align_cigar.add(1 if ops == true_ops else 0)
+            if ops != true_ops:
+                return
+            stats.align_cigar.add(1)
 
 
 def main(argv=None) -> int:

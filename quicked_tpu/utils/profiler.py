@@ -64,14 +64,57 @@ class Counter:
     def reset(self) -> None:
         self.__init__()
 
+    @staticmethod
+    def _scaled(val: float, prefix: str, suffix: str = "") -> str:
+        """The reference's K/M/G metric scaling (profiler_counter.c)."""
+        for factor, tag in ((1000000000, "G"), (1000000, "M"),
+                            (1000, "K")):
+            if val >= factor:
+                return f"{prefix}{val / factor:.2f}{tag}{suffix}"
+        return f"{prefix}{val:.2f}{suffix}"
+
     def print(self, stream, total: "Counter | None" = None,
               units: str = "") -> None:
-        """counter_print format: total (percent) (samples, mean)."""
-        pct = ""
-        if total is not None and total.total:
-            pct = f" ({100.0 * self.total / total.total:6.2f} %)"
-        stream.write(f"{self.total:>15} {units}{pct}"
-                     f" (samples={self.samples},mean={self.mean():.2f})\n")
+        """Byte-exact counter_print(full_report=True)
+        (profiler_counter.c:91-223)."""
+        t = self.total
+        if t >= 1000000000:
+            stream.write(f"{t / 1e9:7.2f} G{units}")
+        elif t >= 1000000:
+            stream.write(f"{t / 1e6:7.2f} M{units}")
+        elif t >= 1000:
+            stream.write(f"{t / 1e3:7.2f} K{units}")
+        else:
+            stream.write(f"{float(t):7.2f} {units} ")
+        if total is not None:
+            if t == 0:
+                stream.write(" (  0.00 %)")
+            elif total.total == 0:
+                stream.write(" (  n/a  %)")
+            else:
+                stream.write(f" ({t * 100 / total.total:6.2f} %)")
+        else:
+            stream.write(" " * 11)
+        ns = self.samples
+        if ns >= 1000000000:
+            stream.write(f" (samples={ns // 1000000000}G")
+        elif ns >= 1000000:
+            stream.write(f" (samples={ns // 1000000}M")
+        elif ns >= 1000:
+            stream.write(f" (samples={ns // 1000}K")
+        else:
+            stream.write(f" (samples={ns}")
+            if ns == 0:
+                stream.write(",--n/a--)}\n")
+                return
+        stream.write(self._scaled(t / ns, "{mean"))
+        stream.write(self._scaled(float(self.min), ",min"))
+        stream.write(self._scaled(float(self.max), ",Max"))
+        # the reference truncates variance/stddev to uint64 before
+        # scaling (profiler_counter.c:143-163)
+        stream.write(self._scaled(float(int(self.variance())), ",Var"))
+        stream.write(self._scaled(float(int(self.stddev())),
+                                  ",StdDev", ")}\n"))
 
 
 class Timer:

@@ -1,6 +1,5 @@
 """Independent edlib oracle: `-a edlib` byte parity + --check parity."""
 
-import re
 import subprocess
 import sys
 
@@ -39,20 +38,16 @@ def test_edlib_algorithm_byte_parity(tmp_path):
     assert our.read_text() == ref.read_text()
 
 
-def test_check_alignment_matches_reference_verdicts(tmp_path):
-    """--check alignment CIGAR.Correct / Score.Correct counts equal the
-    reference's (both sides judge against edlib's bytes)."""
+def test_check_alignment_accuracy_block_byte_parity(tmp_path):
+    """--check alignment [Accuracy] stderr block is byte-identical to
+    the reference's (counter semantics, early exits, metric-scaled
+    printer — both sides judge CIGARs against edlib's bytes)."""
     bench = _need()
     seq = _seq(tmp_path, n=20, L=200, e=0.1, seed=4)
 
-    def counts(stderr):
-        # "=> CIGAR.Correct            12.00 alg" / "... 12 alg"
-        out = {}
-        for key in ("Alignments.Correct", "Score.Correct", "CIGAR.Correct"):
-            m = re.search(rf"{re.escape(key)}\s+([\d.]+)", stderr)
-            assert m, (key, stderr)
-            out[key] = float(m.group(1))
-        return out
+    def accuracy_block(stderr):
+        assert "[Accuracy]" in stderr
+        return stderr[stderr.index("[Accuracy]"):]
 
     r = subprocess.run([bench, "-a", "quicked", "-i", str(seq), "-c",
                         "alignment"], check=True, capture_output=True,
@@ -61,4 +56,4 @@ def test_check_alignment_matches_reference_verdicts(tmp_path):
                         "quicked", "-i", str(seq), "-c", "alignment",
                         "--platform", "cpu"], check=True,
                        capture_output=True, text=True)
-    assert counts(o.stderr) == counts(r.stderr)
+    assert accuracy_block(o.stderr) == accuracy_block(r.stderr)
