@@ -174,7 +174,8 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
             pv_lo, pv_hi, mv_lo, mv_hi, scw, fl,
             raw_peq_lo, raw_peq_hi, raw_lm_lo, raw_lm_hi,
             win_peq_lo, win_peq_hi, win_lm_lo, win_lm_hi, sems,
-            *, R: int, EBB: int, NB: int, n_row_levels: int):
+            *, R: int, EBB: int, NB: int, n_row_levels: int,
+            SKIP: tuple = ()):
     b = pl.program_id(0)
     nb = pl.program_id(1)
     prolog = prolog_ref[0, 0, 0]
@@ -257,7 +258,10 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
         below = blk < first
         a = jnp.where(below, jnp.uint32(P_ST), a)
         bmap = jnp.where(below, jnp.uint32(P_ST), bmap)
-        r = _prefix_carry(a, bmap, n_row_levels)
+        if "carry" in SKIP:      # debug bisection: unresolved carries
+            r = a
+        else:
+            r = _prefix_carry(a, bmap, n_row_levels)
 
         is_m = r == M_ST
         is_p = r == P_ST
@@ -279,6 +283,8 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     jax.lax.fori_loop(0, W, col_body, 0)
 
     # ---- band maintenance (banded_jax._maintenance, flat layout) ----
+    if "maint" in SKIP:      # debug bisection
+        first_n, last_n = first, last
     srows = scw[:R]
 
     def cap(at):
@@ -289,7 +295,7 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     c_last1 = cap(last - 1)
     c_last = cap(last)
 
-    do_shift = (nb + 1) * W <= tfinish
+    do_shift = ((nb + 1) * W <= tfinish) & ("maint" not in SKIP)
     pos_h = nb
     cut_lower = (first + 2 < last) & (finish_v > W * (first + 1)) & \
         ((c_first1 + (finish_v - W * (first + 1))) > cutoff)
@@ -325,7 +331,8 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     # the reference's appended row (nb + 1 + EBB - prolog + 1)*64 as
     # the padding cascades down.
     # (masked reduction: Mosaic has no scalar VMEM loads/stores)
-    dropped_out[0, 0, 0, 0] = jnp.sum(jnp.where(blk_s == 0, scw[:], 0))
+    if "dropped" not in SKIP:
+        dropped_out[0, 0, 0, 0] = jnp.sum(jnp.where(blk_s == 0, scw[:], 0))
     new_row = (((R + 1) * LN - 1 + nb + 1 - prolog + 1) * W).astype(I32)
     scw[:] = flat_shift_up(scw[:], 1, new_row)
     fl[0] = first
@@ -379,8 +386,12 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
         smem,
         smem,
     )
+    import os
+    skip = tuple(x for x in os.environ.get("QUICKED_CSCAN_SKIP",
+                                           "").split(",") if x)
     return pl.pallas_call(
-        partial(_kernel, R=R, EBB=EBB, NB=NB, n_row_levels=n_row_levels),
+        partial(_kernel, R=R, EBB=EBB, NB=NB, n_row_levels=n_row_levels,
+                SKIP=skip),
         grid=grid,
         interpret=interpret,
         in_specs=[
