@@ -79,3 +79,24 @@ def test_align_batch_empty_sequences():
     assert res.status[0] == QuickedStatus.QUICKED_EMPTY_SEQUENCE
     assert res.status[1] == QuickedStatus.QUICKED_OK
     assert res.score[1] == 0
+
+
+def test_native_cascade_deferred_hirschberg(monkeypatch):
+    """Native-lane pairs whose stage-4 footprint exceeds the Hirschberg
+    budget come back with a proven bound and finish through the batched
+    driver — shrink the budget so small pairs exercise that path."""
+    import quicked_tpu.params as params_mod
+    from quicked_tpu.aligner.cascade import _cascade_staged, quicked_cascade_batch
+    from quicked_tpu.utils.profiler import PhaseTimers
+
+    monkeypatch.setattr(params_mod, "HIRSCHBERG_BUFFER_SIZE", 1 << 14)
+    monkeypatch.setattr(myers_np, "HIRSCHBERG_BUFFER", 1 << 14)
+    import quicked_tpu.aligner.hirschberg as hmod
+    monkeypatch.setattr(hmod, "HIRSCHBERG_BUFFER_SIZE", 1 << 14)
+
+    pairs = _pairs(4, 900, 0.15, 77)
+    res = quicked_cascade_batch(pairs, QuickedParams())
+    staged = _cascade_staged(pairs, QuickedParams(), PhaseTimers())
+    for i in range(len(pairs)):
+        assert res.score[i] == staged.score[i]
+        assert res.cigar[i] == staged.cigar[i]
