@@ -262,12 +262,17 @@ static inline void qh_banded_cols4(
     qh_v4u64 pv = {0, 0, 0, 0}, mv = {0, 0, 0, 0};
     qh_v4u64 phin = {0, 0, 0, 0}, mhin = {0, 0, 0, 0};
     qh_v4u64 eqv = {0, 0, 0, 0}, lmv = {0, 0, 0, 0};
+    qh_v4i64 delta = {0, 0, 0, 0};   /* per-block score delta, rides the
+                                        pipeline; one scalar update per
+                                        block at retirement */
     for (int64_t t = 0; t < span + 3; t++) {
         /* shift pipelines one lane; lane 0 loads the entering block */
         pv = __builtin_shuffle(pv, (qh_v4u64){0, 0, 1, 2});
         mv = __builtin_shuffle(mv, (qh_v4u64){0, 0, 1, 2});
         eqv = __builtin_shuffle(eqv, (qh_v4u64){0, 0, 1, 2});
         lmv = __builtin_shuffle(lmv, (qh_v4u64){0, 0, 1, 2});
+        delta = __builtin_shuffle(delta, (qh_v4i64){0, 0, 1, 2});
+        delta[0] = 0;
         if (t < span) {
             const int64_t i0 = first + t;
             const int64_t row0 = i0 + pos_v;
@@ -302,17 +307,13 @@ static inline void qh_banded_cols4(
         mv = ph & xv;
         phin = phout;
         mhin = mhout;
-        /* per-lane score updates for active lanes */
-        const int64_t jlo = (t - span + 1) > 0 ? (t - span + 1) : 0;
-        const int64_t jhi = t < 3 ? t : 3;
-        for (int64_t j = jlo; j <= jhi; j++) {
-            const int64_t row = first + t - j + pos_v;
-            sc[row + prolog] += (int64_t)phout[j] - (int64_t)mhout[j];
-        }
-        /* lane 3 retires its block to memory */
+        delta += (qh_v4i64)phout - (qh_v4i64)mhout;
+        /* lane 3 retires its block (state + accumulated score delta) */
         if (t >= 3 && t - 3 < span) {
-            Pv[first + t - 3] = pv[3];
-            Mv[first + t - 3] = mv[3];
+            const int64_t i3 = first + t - 3;
+            Pv[i3] = pv[3];
+            Mv[i3] = mv[3];
+            sc[i3 + pos_v + prolog] += delta[3];
         }
     }
 }
