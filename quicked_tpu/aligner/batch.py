@@ -101,9 +101,12 @@ def _run_banded_auto(batch):
             import os
             deep = batch.EBB > PALLAS_MAX_EBB or \
                 (batch.B <= CSCAN_MAX_B and batch.EBB >= CSCAN_MIN_EBB)
-            # QUICKED_TPU_CSCAN=0 opts the deep-band Mosaic kernel out
-            # (falls back to the XLA wavefront scan)
-            if deep and os.environ.get("QUICKED_TPU_CSCAN", "1") != "0":
+            # The carry-scan Mosaic kernel is interpret-mode bit-exact
+            # but still faults the compiled TPU worker (NEXT.md #1);
+            # opt IN with QUICKED_TPU_CSCAN=1 until it is proven
+            # on-chip — the XLA wavefront scan serves deep bands
+            # meanwhile.
+            if deep and os.environ.get("QUICKED_TPU_CSCAN", "0") == "1":
                 from quicked_tpu.ops.banded_cscan_pallas import (
                     run_banded_cscan_pallas,
                 )
