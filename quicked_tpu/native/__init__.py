@@ -106,6 +106,12 @@ def _load():
         lib.qh_cigar_sprint_batch.argtypes = [
             ctypes.c_char_p, _i64p, _i64p, _i64, _i64,
             ctypes.c_char_p, _i64p, _i64p]
+        _u64p2 = ctypes.POINTER(ctypes.c_uint64)
+        lib.qh_banded_score_batch.restype = _i64
+        lib.qh_banded_score_batch.argtypes = [
+            _u8p, _i64p, _i64p, _i64p, _i64p, _i64p, _i64p,
+            _i64, _i64, _i64, _i64p,
+            _u64p2, _u64p2, _i64, _i64p, _i64p, _i64p, _i64, _i64p]
         lib.qh_hirschberg.restype = _i64
         lib.qh_hirschberg.argtypes = [
             _u8p, _u8p, _i64, _u8p, _u8p, _i64, _i64, _i64,
@@ -228,6 +234,78 @@ def banded_score(pattern_enc: np.ndarray, text_enc: np.ndarray,
     return dict(score=score, pv=pv[:ebb.value], mv=mv[:ebb.value],
                 first=int(first.value), last=int(last.value),
                 scores=scores, prolog=prolog, ebb=int(ebb.value))
+
+
+def banded_score_batch(enc_patterns, enc_texts, cutoffs, tfinishes,
+                       want_state: bool = False,
+                       n_threads: int | None = None):
+    """Batched score-only BandEd through ONE native call (pthread pool
+    inside). Returns scores int64 (n,), or with want_state a dict of
+    strided per-lane state arrays:
+      pv/mv (n, ebb_stride) u64, first/last/ebb (n,),
+      scores (n, rows_stride) indexed by row + prolog_i.
+    """
+    lib = _load()
+    n = len(enc_patterns)
+    if n_threads is None:
+        n_threads = int(os.environ.get("QUICKED_TPU_CPU_THREADS",
+                                       os.cpu_count() or 1))
+    enc_list = [np.ascontiguousarray(e, dtype=np.uint8)
+                for pair in zip(enc_patterns, enc_texts) for e in pair]
+    lens = np.fromiter(map(len, enc_list), np.int64, 2 * n)
+    offs = np.zeros(2 * n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    buf = b"".join(e.tobytes() for e in enc_list)
+    p_off = np.ascontiguousarray(offs[0::2])
+    t_off = np.ascontiguousarray(offs[1::2])
+    p_len = np.ascontiguousarray(lens[0::2])
+    t_len = np.ascontiguousarray(lens[1::2])
+    cutoff = np.asarray(cutoffs, dtype=np.int64)
+    tfin = np.asarray(tfinishes, dtype=np.int64)
+    scores = np.zeros(n, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+
+    def arr(a):
+        return a.ctypes.data_as(i64p)
+
+    if not want_state:
+        lib.qh_banded_score_batch(
+            _u8bytes(buf), arr(p_off), arr(p_len), arr(t_off), arr(t_len),
+            arr(cutoff), arr(tfin), n, n_threads, 0, arr(scores),
+            None, None, 0, None, None, None, 0, None)
+        return scores
+    # strided state buffers sized like the per-pair wrapper (banded_score)
+    k_end = np.abs(t_len - p_len) + 1
+    eff = np.maximum(np.maximum(k_end, cutoff), 65)
+    ebb_cap = int((eff // 64 + 2).max())
+    diff = p_len - t_len
+    rel = -(-(eff - np.abs(diff)) // 2)
+    prolog = np.where(diff >= 0, -(-rel // 64), -(-(rel - diff) // 64))
+    nb_total = np.maximum(-(-tfin // 64), 1)
+    fb = np.where(p_len % 64 != 0, p_len // 64,
+                  np.maximum(p_len - 1, 0) // 64)
+    n_rows = np.maximum(prolog + nb_total + ebb_cap + 2,
+                        fb + prolog + 1)
+    rows_stride = int(n_rows.max())
+    pv = np.empty((n, ebb_cap), dtype=np.uint64)
+    mv = np.empty((n, ebb_cap), dtype=np.uint64)
+    first = np.zeros(n, dtype=np.int64)
+    last = np.zeros(n, dtype=np.int64)
+    sc_rows = np.empty((n, rows_stride), dtype=np.int64)
+    # pre-fill with the init formula so rows beyond a pair's own n_rows
+    # hold the deterministic defaults (the C kernel writes its exact
+    # row count per pair)
+    sc_rows[:] = ((np.arange(rows_stride, dtype=np.int64)[None, :]
+                   - prolog[:, None] + 1) * 64)
+    ebb = np.zeros(n, dtype=np.int64)
+    lib.qh_banded_score_batch(
+        _u8bytes(buf), arr(p_off), arr(p_len), arr(t_off), arr(t_len),
+        arr(cutoff), arr(tfin), n, n_threads, 1, arr(scores),
+        pv.ctypes.data_as(u64p), mv.ctypes.data_as(u64p), ebb_cap,
+        arr(first), arr(last), arr(sc_rows), rows_stride, arr(ebb))
+    return dict(score=scores, pv=pv, mv=mv, first=first, last=last,
+                scores=sc_rows, prolog=prolog.astype(np.int64), ebb=ebb)
 
 
 def banded_align_full(pattern_enc: np.ndarray, pattern_raw: bytes,

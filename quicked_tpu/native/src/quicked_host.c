@@ -1466,3 +1466,93 @@ int64_t qh_align(
     *ops_n_out = n;
     return status;
 }
+
+/* ----------------------------------------- batched banded score */
+
+typedef struct {
+    const uint8_t *enc;
+    const int64_t *p_off, *p_len, *t_off, *t_len, *cutoff, *tfinish;
+    int64_t n;
+    int want_state;
+    int64_t *score;
+    uint64_t *pv, *mv;
+    int64_t ebb_stride;
+    int64_t *first, *last, *scores;
+    int64_t rows_stride;
+    int64_t *ebb;
+    volatile int64_t next;
+    pthread_mutex_t lock;
+} qh_bsb_ctx_t;
+
+static void *qh_bsb_worker(void *arg) {
+    qh_bsb_ctx_t *c = (qh_bsb_ctx_t *)arg;
+    for (;;) {
+        pthread_mutex_lock(&c->lock);
+        int64_t i = c->next++;
+        pthread_mutex_unlock(&c->lock);
+        if (i >= c->n) break;
+        if (c->want_state) {
+            c->score[i] = qh_banded_score(
+                c->enc + c->p_off[i], c->p_len[i],
+                c->enc + c->t_off[i], c->tfinish[i], c->t_len[i],
+                c->cutoff[i],
+                c->pv + i * c->ebb_stride, c->mv + i * c->ebb_stride,
+                &c->first[i], &c->last[i],
+                c->scores + i * c->rows_stride, &c->ebb[i]);
+        } else {
+            c->score[i] = qh_banded_score(
+                c->enc + c->p_off[i], c->p_len[i],
+                c->enc + c->t_off[i], c->tfinish[i], c->t_len[i],
+                c->cutoff[i], NULL, NULL, NULL, NULL, NULL, NULL);
+        }
+    }
+    return NULL;
+}
+
+/*
+ * Batched score-only BandEd over packed encoded sequences: one ctypes
+ * call, pthread pool inside — the host lane of the score-batch path
+ * (the per-pair Python wrapper loop serialized on the GIL).
+ */
+int64_t qh_banded_score_batch(
+    const uint8_t *enc_buf,
+    const int64_t *p_off, const int64_t *p_len,
+    const int64_t *t_off, const int64_t *t_len,
+    const int64_t *cutoff, const int64_t *tfinish,
+    int64_t n, int64_t n_threads, int64_t want_state,
+    int64_t *score_out,
+    uint64_t *pv_out, uint64_t *mv_out, int64_t ebb_stride,
+    int64_t *first_out, int64_t *last_out,
+    int64_t *scores_out, int64_t rows_stride, int64_t *ebb_out) {
+    qh_bsb_ctx_t c;
+    c.enc = enc_buf;
+    c.p_off = p_off; c.p_len = p_len; c.t_off = t_off; c.t_len = t_len;
+    c.cutoff = cutoff; c.tfinish = tfinish;
+    c.n = n;
+    c.want_state = (int)want_state;
+    c.score = score_out;
+    c.pv = pv_out; c.mv = mv_out; c.ebb_stride = ebb_stride;
+    c.first = first_out; c.last = last_out;
+    c.scores = scores_out; c.rows_stride = rows_stride; c.ebb = ebb_out;
+    c.next = 0;
+    pthread_mutex_init(&c.lock, NULL);
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > n) n_threads = n > 0 ? n : 1;
+    if (n_threads == 1) {
+        qh_bsb_worker(&c);
+    } else {
+        pthread_t tids[64];
+        int64_t spawned = 0;
+        for (int64_t k = 0; k < n_threads; k++) {
+            if (pthread_create(&tids[k], NULL, qh_bsb_worker, &c) != 0)
+                break;
+            spawned++;
+        }
+        if (spawned == 0) qh_bsb_worker(&c);
+        for (int64_t k = 0; k < spawned; k++)
+            pthread_join(tids[k], NULL);
+    }
+    pthread_mutex_destroy(&c.lock);
+    return n;
+}

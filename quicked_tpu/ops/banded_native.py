@@ -52,7 +52,9 @@ def run_banded_full_native(patterns, texts, cutoffs, workers=None):
 
 
 def run_banded_native(batch: BandedBatch):
-    """Execute the score-only banded pass through the C kernel."""
+    """Execute the score-only banded pass through the C kernel: ONE
+    native call for the whole batch (pthread pool inside), then a
+    vectorised scatter into the device-kernel output layout."""
     assert not batch.full, "native path is score-only"
     assert batch.enc_patterns is not None, "batch lacks host sequences"
     B, EBB, K = batch.B, batch.EBB, batch.K
@@ -69,27 +71,30 @@ def run_banded_native(batch: BandedBatch):
     first = batch.first0.astype(np.int32).copy()
     last = batch.last0.astype(np.int32).copy()
 
-    def one(b):
-        res = native.banded_score(
-            batch.enc_patterns[b], batch.enc_texts[b],
-            int(batch.cutoff[b]), int(batch.tlen[b]),
-            int(batch.tfinish[b]), want_state=True)
-        first[b] = res["first"]
-        last[b] = res["last"]
-        ebb = res["ebb"]
-        pv = res["pv"]
-        mv = res["mv"]
-        pv_lo[:ebb, b] = (pv & 0xFFFFFFFF).astype(np.uint32)
-        pv_hi[:ebb, b] = (pv >> np.uint64(32)).astype(np.uint32)
-        mv_lo[:ebb, b] = (mv & 0xFFFFFFFF).astype(np.uint32)
-        mv_hi[:ebb, b] = (mv >> np.uint64(32)).astype(np.uint32)
-        sc = res["scores"]
-        # scores_by_k row k <-> absolute row k - prolog; the C kernel's
-        # array uses the same offset
-        m = min(len(sc), K + 1)
-        scores_by_k[:m, b] = sc[:m]
-
-    map_lanes(one, n)
+    res = native.banded_score_batch(
+        batch.enc_patterns, batch.enc_texts,
+        batch.cutoff[:n].astype(np.int64), batch.tfinish[:n],
+        want_state=True)
+    first[:n] = res["first"]
+    last[:n] = res["last"]
+    # per-pair ebb can differ; scatter with a column mask
+    ebb = res["ebb"]
+    rows = np.arange(res["pv"].shape[1], dtype=np.int64)
+    live = rows[None, :] < ebb[:, None]          # (n, ebb_cap)
+    m_rows = min(res["pv"].shape[1], EBB)
+    lv = live[:, :m_rows].T                      # (m_rows, n)
+    pvT = res["pv"][:, :m_rows].T
+    mvT = res["mv"][:, :m_rows].T
+    np.copyto(pv_lo[:m_rows, :n], (pvT & np.uint64(0xFFFFFFFF))
+              .astype(np.uint32), where=lv)
+    np.copyto(pv_hi[:m_rows, :n], (pvT >> np.uint64(32))
+              .astype(np.uint32), where=lv)
+    np.copyto(mv_lo[:m_rows, :n], (mvT & np.uint64(0xFFFFFFFF))
+              .astype(np.uint32), where=lv)
+    np.copyto(mv_hi[:m_rows, :n], (mvT >> np.uint64(32))
+              .astype(np.uint32), where=lv)
+    m = min(res["scores"].shape[1], K + 1)
+    scores_by_k[:m, :n] = res["scores"][:, :m].T
 
     return dict(scores_by_k=scores_by_k, pv_lo=pv_lo, pv_hi=pv_hi,
                 mv_lo=mv_lo, mv_hi=mv_hi, first=first, last=last)

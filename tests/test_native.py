@@ -91,3 +91,28 @@ def test_native_seq_reader():
                                                      chunk_bytes=256)
                for p in batch]
         assert got == pairs
+
+
+def test_native_batched_score_parity():
+    """qh_banded_score_batch (one-call, threaded) vs the XLA scan on
+    the live lanes, incl. Hirschberg half passes."""
+    import jax
+
+    from quicked_tpu.ops.banded_jax import run_banded
+    from quicked_tpu.ops.banded_native import run_banded_native
+
+    keys = ("scores_by_k", "pv_lo", "pv_hi", "mv_lo", "mv_hi",
+            "first", "last")
+    for ld, half in [(1.1, False), (1.0, True)]:
+        pairs = _pairs(24, 700, 0.15, 9)
+        cutoffs = [max(len(p), len(t)) * 25 // 100 for p, t in pairs]
+        fins = [len(t) // 2 for _, t in pairs] if half else None
+        batch = prepare_banded_batch(
+            [p for p, _ in pairs], [t for _, t in pairs], cutoffs,
+            full=False, text_finish=fins, pad_to_b=32)
+        a = run_banded(batch)
+        b = run_banded_native(batch)
+        for k in keys:
+            np.testing.assert_array_equal(
+                np.asarray(a[k])[..., :24], np.asarray(b[k])[..., :24],
+                err_msg=f"{k} ld={ld} half={half}")
