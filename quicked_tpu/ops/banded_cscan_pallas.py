@@ -173,7 +173,8 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
             mv_lo_out, mv_hi_out, first_out, last_out,        # out
             pv_lo, pv_hi, mv_lo, mv_hi, scw, fl,
             raw_peq_lo, raw_peq_hi, raw_lm_lo, raw_lm_hi,
-            win_peq_lo, win_peq_hi, win_lm_lo, win_lm_hi, sems,
+            win_peq_lo, win_peq_hi, win_lm_lo, win_lm_hi,
+            eq_slab_lo, eq_slab_hi, sems,
             *, R: int, EBB: int, NB: int, n_row_levels: int,
             SKIP: tuple = ()):
     b = pl.program_id(0)
@@ -229,6 +230,11 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
         raw_lm_lo[pl.ds(row_off, R + 1)], off, jnp.uint32(0))
     win_lm_hi[:] = shift_up_dyn(
         raw_lm_hi[pl.ds(row_off, R + 1)], off, jnp.uint32(0x80000000))
+    # pre-extract per-alphabet slabs once per block (the per-column
+    # sublane gather was in the hot loop)
+    for _a in range(5):
+        eq_slab_lo[_a] = win_peq_lo[:R, _a]
+        eq_slab_hi[_a] = win_peq_hi[:R, _a]
 
     first = fl[0]
     last = fl[1]
@@ -236,15 +242,14 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     def col_body(j, _):
         c = text_ref[0, 0, 0, j]
         col_act = nb * W + j < tfinish
-        # 5-way masked select on the scalar char (static window reads;
-        # Mosaic's dynamic leading-index loads are avoided in the hot
-        # loop)
-        eq_lo = win_peq_lo[:R, 0]
-        eq_hi = win_peq_hi[:R, 0]
+        # 5-way masked select on the scalar char over the pre-extracted
+        # alphabet slabs (static leading index)
+        eq_lo = eq_slab_lo[0]
+        eq_hi = eq_slab_hi[0]
         for a in range(1, 5):
             sel = c == a
-            eq_lo = jnp.where(sel, win_peq_lo[:R, a], eq_lo)
-            eq_hi = jnp.where(sel, win_peq_hi[:R, a], eq_hi)
+            eq_lo = jnp.where(sel, eq_slab_lo[a], eq_lo)
+            eq_hi = jnp.where(sel, eq_slab_hi[a], eq_hi)
         lm_lo = win_lm_lo[:R]
         lm_hi = win_lm_hi[:R]
         pvs = (pv_lo[:], pv_hi[:])
@@ -277,7 +282,10 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
         delta = jnp.where(is_m, m_pho.astype(I32) - m_mho.astype(I32),
                           z_pho.astype(I32) - z_mho.astype(I32))
         delta = jnp.where(act, delta, 0)
-        scw[:R] = scw[:R] + delta
+        # full-width update (partial sublane stores inside the loop are
+        # an untested Mosaic construct; pad the delta instead)
+        scw[:] = scw[:] + jnp.concatenate(
+            [delta, jnp.zeros((1, LN), I32)], axis=0)
         return 0
 
     jax.lax.fori_loop(0, W, col_body, 0)
@@ -417,6 +425,8 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
             pltpu.VMEM((R + 1, ALPH, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.uint32),
+            pltpu.VMEM((ALPH, R, LN), jnp.uint32),       # eq slabs
+            pltpu.VMEM((ALPH, R, LN), jnp.uint32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog, nbr,
