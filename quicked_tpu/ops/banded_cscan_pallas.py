@@ -45,6 +45,13 @@ I32 = jnp.int32
 ALPH = 8          # alphabet axis padded 5 -> 8
 
 
+def _raw_rows(R: int) -> int:
+    """Rows of the raw HBM fetch window: R+9 (R+1 window rows + 8 rows
+    of alignment slack) rounded up to whole 8-sublane tiles so the DMA
+    never writes a partial tile."""
+    return -(-(R + 9) // 8) * 8
+
+
 def _lane_idx(shape):
     return jax.lax.broadcasted_iota(I32, shape, len(shape) - 1)
 
@@ -204,31 +211,51 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
     # must be provably 8-aligned: fetch at nbq8 = 8*(nbq//8) with 8 rows
     # of slack, slice the window at the dynamic row offset in-kernel,
     # then alignment-shift by nb % 128 lanes.
+    RW = _raw_rows(R)
     nbq = nb // LN
     nbq8 = pl.multiple_of((nbq // 8) * 8, 8)
-    copies = [
-        pltpu.make_async_copy(peq_lo_hbm.at[b, pl.ds(nbq8, R + 9)],
-                              raw_peq_lo, sems.at[0]),
-        pltpu.make_async_copy(peq_hi_hbm.at[b, pl.ds(nbq8, R + 9)],
-                              raw_peq_hi, sems.at[1]),
-        pltpu.make_async_copy(lm_lo_hbm.at[b, pl.ds(nbq8, R + 9), :],
-                              raw_lm_lo, sems.at[2]),
-        pltpu.make_async_copy(lm_hi_hbm.at[b, pl.ds(nbq8, R + 9), :],
-                              raw_lm_hi, sems.at[3]),
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
-    row_off = nbq - nbq8
+    if "dma" in SKIP or "dmapeq" in SKIP:   # debug bisection: no fetch
+        raw_peq_lo[:] = jnp.full((RW, ALPH, LN), 0xFFFFFFFF, U32)
+        raw_peq_hi[:] = jnp.full((RW, ALPH, LN), 0xFFFFFFFF, U32)
+    else:
+        copies = [
+            pltpu.make_async_copy(peq_lo_hbm.at[b, pl.ds(nbq8, RW)],
+                                  raw_peq_lo, sems.at[0]),
+            pltpu.make_async_copy(peq_hi_hbm.at[b, pl.ds(nbq8, RW)],
+                                  raw_peq_hi, sems.at[1]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+    if "dma" in SKIP or "dmalm" in SKIP:
+        raw_lm_lo[:] = jnp.zeros((RW, LN), U32)
+        raw_lm_hi[:] = jnp.full((RW, LN), 0x80000000, U32)
+    else:
+        copies = [
+            pltpu.make_async_copy(lm_lo_hbm.at[b, pl.ds(nbq8, RW), :],
+                                  raw_lm_lo, sems.at[2]),
+            pltpu.make_async_copy(lm_hi_hbm.at[b, pl.ds(nbq8, RW), :],
+                                  raw_lm_hi, sems.at[3]),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+    row_off = 0 if "dynrow" in SKIP else nbq - nbq8
+    if "alignshift" in SKIP:     # debug bisection: static window shift
+        def _shift(x, _off, fill):
+            return x
+    else:
+        _shift = shift_up_dyn
     off = nb - nbq * LN
-    win_peq_lo[:] = shift_up_dyn(
+    win_peq_lo[:] = _shift(
         raw_peq_lo[pl.ds(row_off, R + 1)], off, jnp.uint32(0xFFFFFFFF))
-    win_peq_hi[:] = shift_up_dyn(
+    win_peq_hi[:] = _shift(
         raw_peq_hi[pl.ds(row_off, R + 1)], off, jnp.uint32(0xFFFFFFFF))
-    win_lm_lo[:] = shift_up_dyn(
+    win_lm_lo[:] = _shift(
         raw_lm_lo[pl.ds(row_off, R + 1)], off, jnp.uint32(0))
-    win_lm_hi[:] = shift_up_dyn(
+    win_lm_hi[:] = _shift(
         raw_lm_hi[pl.ds(row_off, R + 1)], off, jnp.uint32(0x80000000))
     # pre-extract per-alphabet slabs once per block (the per-column
     # sublane gather was in the hot loop)
@@ -288,7 +315,8 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
             [delta, jnp.zeros((1, LN), I32)], axis=0)
         return 0
 
-    jax.lax.fori_loop(0, W, col_body, 0)
+    if "cols" not in SKIP:       # debug bisection: skip the column loop
+        jax.lax.fori_loop(0, W, col_body, 0)
 
     # ---- band maintenance (banded_jax._maintenance, flat layout) ----
     if "maint" in SKIP:      # debug bisection
@@ -358,11 +386,11 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
 
 
 @partial(jax.jit, static_argnames=("R", "EBB", "NB", "n_row_levels",
-                                   "interpret"))
+                                   "interpret", "skip"))
 def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
                   nbr, finish_v, tfinish, first0, last0,
                   *, R: int, EBB: int, NB: int, n_row_levels: int,
-                  interpret: bool = False):
+                  interpret: bool = False, skip: tuple = ()):
     B = text.shape[0]
     grid = (B, NB)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -394,9 +422,6 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
         smem,
         smem,
     )
-    import os
-    skip = tuple(x for x in os.environ.get("QUICKED_CSCAN_SKIP",
-                                           "").split(",") if x)
     return pl.pallas_call(
         partial(_kernel, R=R, EBB=EBB, NB=NB, n_row_levels=n_row_levels,
                 SKIP=skip),
@@ -417,10 +442,10 @@ def _pallas_cscan(peq_lo, peq_hi, lm_lo, lm_hi, text, cutoff, prolog,
             pltpu.VMEM((R, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.int32),  # scw
             pltpu.SMEM((2,), jnp.int32),         # first/last
-            pltpu.VMEM((R + 9, ALPH, LN), jnp.uint32),   # raw peq fetch
-            pltpu.VMEM((R + 9, ALPH, LN), jnp.uint32),
-            pltpu.VMEM((R + 9, LN), jnp.uint32),         # raw lm fetch
-            pltpu.VMEM((R + 9, LN), jnp.uint32),
+            pltpu.VMEM((_raw_rows(R), ALPH, LN), jnp.uint32),  # raw peq
+            pltpu.VMEM((_raw_rows(R), ALPH, LN), jnp.uint32),
+            pltpu.VMEM((_raw_rows(R), LN), jnp.uint32),        # raw lm
+            pltpu.VMEM((_raw_rows(R), LN), jnp.uint32),
             pltpu.VMEM((R + 1, ALPH, LN), jnp.uint32),   # aligned windows
             pltpu.VMEM((R + 1, ALPH, LN), jnp.uint32),
             pltpu.VMEM((R + 1, LN), jnp.uint32),
@@ -439,8 +464,8 @@ def stage_cscan_batch(batch: BandedBatch):
     into (B, NB, 64)."""
     B, EBB, NB, K = batch.B, batch.EBB, batch.NB, batch.K
     R = max(-(-EBB // LN), 1)
-    # KT covers the last aligned fetch: rows nbq8 .. nbq8 + R + 9
-    KT = (NB - 1) // LN + R + 9
+    # KT covers the last aligned fetch: rows nbq8 .. nbq8 + _raw_rows(R)
+    KT = (NB - 1) // LN + _raw_rows(R)
 
     def tile_rows(a, fill):
         # (K, ..., B) -> (B, ..., KT, 128)
@@ -492,16 +517,22 @@ def stage_cscan_batch(batch: BandedBatch):
     return args, statics
 
 
-def run_cscan_staged(args, statics, interpret: bool | None = None):
+def run_cscan_staged(args, statics, interpret: bool | None = None,
+                     skip: tuple | None = None):
     if interpret is None:
         import jax as _jax
         interpret = _jax.devices()[0].platform != "tpu"
+    if skip is None:
+        import os
+        skip = tuple(x for x in os.environ.get("QUICKED_CSCAN_SKIP",
+                                               "").split(",") if x)
     return _pallas_cscan(
         args["peq_lo"], args["peq_hi"], args["lm_lo"], args["lm_hi"],
         args["text"], args["cutoff"], args["prolog"], args["nbr"],
         args["finish_v"], args["tfinish"], args["first0"], args["last0"],
         R=statics["R"], EBB=statics["EBB"], NB=statics["NB"],
-        n_row_levels=statics["n_row_levels"], interpret=interpret)
+        n_row_levels=statics["n_row_levels"], interpret=interpret,
+        skip=tuple(skip))
 
 
 def collect_cscan(out, statics):
