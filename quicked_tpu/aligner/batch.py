@@ -101,12 +101,11 @@ def _run_banded_auto(batch):
             import os
             deep = batch.EBB > PALLAS_MAX_EBB or \
                 (batch.B <= CSCAN_MAX_B and batch.EBB >= CSCAN_MIN_EBB)
-            # The carry-scan Mosaic kernel is interpret-mode bit-exact
-            # but still faults the compiled TPU worker (NEXT.md #1);
-            # opt IN with QUICKED_TPU_CSCAN=1 until it is proven
-            # on-chip — the XLA wavefront scan serves deep bands
-            # meanwhile.
-            if deep and os.environ.get("QUICKED_TPU_CSCAN", "0") == "1":
+            # Deep bands / tiny batches: the carry-scan Mosaic kernel
+            # (proven on-chip: parity + 36.5 Gcells/s at EBB 1189 after
+            # the 8-sublane-tile DMA fix). QUICKED_TPU_CSCAN=0 opts out
+            # to the XLA wavefront scan.
+            if deep and os.environ.get("QUICKED_TPU_CSCAN", "1") == "1":
                 from quicked_tpu.ops.banded_cscan_pallas import (
                     run_banded_cscan_pallas,
                 )

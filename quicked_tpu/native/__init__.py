@@ -86,6 +86,10 @@ def _load():
         lib.qh_banded_score.argtypes = [
             _u8p, _i64, _u8p, _i64, _i64, _i64,
             _u64p, _u64p, _i64p, _i64p, _i64p, _i64p]
+        lib.qh_banded_score_mt.restype = _i64
+        lib.qh_banded_score_mt.argtypes = [
+            _u8p, _i64, _u8p, _i64, _i64, _i64,
+            _u64p, _u64p, _i64p, _i64p, _i64p, _i64p, _i64]
         lib.qh_banded_align_full.restype = _i64
         lib.qh_banded_align_full.argtypes = [
             _u8p, _u8p, _i64, _u8p, _u8p, _i64, _i64,
@@ -186,21 +190,22 @@ def cigar_sam(ops: str) -> np.ndarray:
 
 def banded_score(pattern_enc: np.ndarray, text_enc: np.ndarray,
                  cutoff_score: int, text_len: int, text_finish: int,
-                 want_state: bool = False):
+                 want_state: bool = False, n_threads: int = 1):
     """Host-native BandEd score-only (CPU compute path). Returns the
     score, or with want_state a dict mirroring the device kernels'
     output for one lane (pv/mv u64 band words, first/last, scores by
-    shifted row)."""
+    shifted row). n_threads > 1 engages the bit-exact threaded
+    wavefront (row strips) inside the single pair's band."""
     lib = _load()
     p = np.ascontiguousarray(pattern_enc, dtype=np.uint8)
     t = np.ascontiguousarray(text_enc, dtype=np.uint8)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u64p = ctypes.POINTER(ctypes.c_uint64)
     if not want_state:
-        return int(lib.qh_banded_score(
+        return int(lib.qh_banded_score_mt(
             p.ctypes.data_as(_u8p), len(p), t.ctypes.data_as(_u8p),
             text_finish, text_len, cutoff_score,
-            None, None, None, None, None, None))
+            None, None, None, None, None, None, int(n_threads)))
     # conservative capacities (see qh_banded_score)
     k_end = abs(text_len - len(p)) + 1
     cutoff = max(k_end, cutoff_score, 65)
@@ -225,12 +230,12 @@ def banded_score(pattern_enc: np.ndarray, text_enc: np.ndarray,
     first = ctypes.c_int64()
     last = ctypes.c_int64()
     ebb = ctypes.c_int64()
-    score = int(lib.qh_banded_score(
+    score = int(lib.qh_banded_score_mt(
         p.ctypes.data_as(_u8p), len(p), t.ctypes.data_as(_u8p),
         text_finish, text_len, cutoff_score,
         pv.ctypes.data_as(u64p), mv.ctypes.data_as(u64p),
         ctypes.byref(first), ctypes.byref(last),
-        scores.ctypes.data_as(i64p), ctypes.byref(ebb)))
+        scores.ctypes.data_as(i64p), ctypes.byref(ebb), int(n_threads)))
     return dict(score=score, pv=pv[:ebb.value], mv=mv[:ebb.value],
                 first=int(first.value), last=int(last.value),
                 scores=scores, prolog=prolog, ebb=int(ebb.value))

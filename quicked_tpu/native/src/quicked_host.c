@@ -19,6 +19,9 @@
 #include <stdint.h>
 #include <stddef.h>
 #include <string.h>
+#include <pthread.h>
+#include <sched.h>
+#include <unistd.h>
 
 #define W 64
 
@@ -250,11 +253,13 @@ typedef int64_t qh_v4i64 __attribute__((vector_size(32)));
  * Processes columns [t0, t0+4) over blocks [first, last]; scores are
  * accumulated per block row like the scalar loop.
  */
-static inline void qh_banded_cols4(
+static inline void qh_banded_cols4_c(
     const uint64_t *peq, int64_t nw, uint64_t lm_last, int64_t mod,
     const uint8_t *text_enc, int64_t t0,
     uint64_t *Pv, uint64_t *Mv, int64_t *sc,
-    int64_t first, int64_t last, int64_t pos_v, int64_t prolog) {
+    int64_t first, int64_t last, int64_t pos_v, int64_t prolog,
+    const uint8_t *cin_p, const uint8_t *cin_m,
+    uint8_t *cout_p, uint8_t *cout_m) {
     const int c0 = text_enc[t0], c1 = text_enc[t0 + 1];
     const int c2 = text_enc[t0 + 2], c3 = text_enc[t0 + 3];
     const int cols[4] = {c0, c1, c2, c3};
@@ -281,8 +286,10 @@ static inline void qh_banded_cols4(
             eqv[0] = (row0 < nw) ? peq[row0 * 5 + c0] : ~0ULL;
             lmv[0] = (row0 == nw - 1 && mod) ? lm_last : (1ULL << 63);
         }
-        /* lanes entering their first block: PHin=1, MHin=0 */
-        if (t < 4) { phin[t] = 1; mhin[t] = 0; }
+        /* lanes entering their first block: the per-column carry in
+         * (1/0 for the band bottom; the strip boundary carry in the
+         * threaded wavefront) */
+        if (t < 4) { phin[t] = cin_p[t]; mhin[t] = cin_m[t]; }
         /* per-lane Eq: lanes 1..3 reuse the shifted PEQ words only when
          * their column chars match lane 0's; reload otherwise */
         for (int j = 1; j < 4; j++) {
@@ -308,6 +315,15 @@ static inline void qh_banded_cols4(
         phin = phout;
         mhin = mhout;
         delta += (qh_v4i64)phout - (qh_v4i64)mhout;
+        /* lane t-(span-1) just processed block `last`: its carry out
+         * leaves the strip */
+        {
+            const int64_t jo = t - (span - 1);
+            if (jo >= 0 && jo < 4) {
+                cout_p[jo] = (uint8_t)phout[jo];
+                cout_m[jo] = (uint8_t)mhout[jo];
+            }
+        }
         /* lane 3 retires its block (state + accumulated score delta) */
         if (t >= 3 && t - 3 < span) {
             const int64_t i3 = first + t - 3;
@@ -318,13 +334,181 @@ static inline void qh_banded_cols4(
     }
 }
 
-int64_t qh_banded_score(
+static const uint8_t QH_ONE4[4] = {1, 1, 1, 1};
+static const uint8_t QH_ZERO4[4] = {0, 0, 0, 0};
+
+static inline void qh_banded_cols4(
+    const uint64_t *peq, int64_t nw, uint64_t lm_last, int64_t mod,
+    const uint8_t *text_enc, int64_t t0,
+    uint64_t *Pv, uint64_t *Mv, int64_t *sc,
+    int64_t first, int64_t last, int64_t pos_v, int64_t prolog) {
+    uint8_t sink_p[4], sink_m[4];
+    qh_banded_cols4_c(peq, nw, lm_last, mod, text_enc, t0, Pv, Mv, sc,
+                      first, last, pos_v, prolog,
+                      QH_ONE4, QH_ZERO4, sink_p, sink_m);
+}
+
+/* ------------- multithreaded banded score: wavefront row strips ------
+ *
+ * The band's block rows are split into contiguous strips; strip s
+ * advances the same anti-diagonal 4-column pipeline as the serial
+ * kernel over its rows, consuming the per-column carry (PHout/MHout)
+ * published by strip s-1 and publishing its own to strip s+1. Only
+ * independent (column, block) cells are reordered, so results are
+ * bit-exact with the serial kernel. Band maintenance (every 64
+ * columns) runs serially on thread 0 between two spin barriers, which
+ * also re-partitions the strips as first/last move.
+ */
+#define QH_BMT_MAX 16
+
+static inline void qh_cpu_relax(void) {
+#if defined(__x86_64__) || defined(__i386__)
+    __builtin_ia32_pause();
+#endif
+}
+
+/* Spin briefly, then yield: with more runnable threads than cores a
+ * pure pause-spin live-locks (the publisher never gets a core). */
+static inline void qh_spin_step(int64_t *spins) {
+    if (++*spins < 1024) qh_cpu_relax();
+    else { sched_yield(); *spins = 0; }
+}
+
+typedef struct {
+    volatile int64_t count;
+    volatile int64_t sense;
+    int64_t total;
+} qh_sbar_t;
+
+static inline void qh_sbar_wait(qh_sbar_t *b, int *local_sense) {
+    int snew = 1 - *local_sense;
+    *local_sense = snew;
+    if (__atomic_add_fetch(&b->count, 1, __ATOMIC_ACQ_REL) == b->total) {
+        b->count = 0;
+        __atomic_store_n(&b->sense, (int64_t)snew, __ATOMIC_RELEASE);
+    } else {
+        int64_t spins = 0;
+        while (__atomic_load_n(&b->sense, __ATOMIC_ACQUIRE) != snew)
+            qh_spin_step(&spins);
+    }
+}
+
+typedef struct {
+    const uint64_t *peq;
+    int64_t nw;
+    uint64_t lm_last;
+    int64_t mod;
+    const uint8_t *text;
+    uint64_t *Pv, *Mv;
+    int64_t *sc;
+    int64_t prolog, cutoff, finish_v, nbr, text_block;
+    int T;
+    /* per-block state; thread 0 updates at maintenance */
+    int64_t first, last, pos_v, pos_h;
+    int active;
+    int64_t s_lo[QH_BMT_MAX + 1];   /* strip s = [s_lo[s], s_lo[s+1]) */
+    /* carry into strip s at column offset t (t mod 64) */
+    uint8_t bp[QH_BMT_MAX][QH_W], bm[QH_BMT_MAX][QH_W];
+    struct { volatile int64_t v; char pad[56]; } done[QH_BMT_MAX];
+    qh_sbar_t bar;
+    volatile int go;
+} qh_bmt_t;
+
+typedef struct { qh_bmt_t *c; int s; } qh_bmt_arg_t;
+
+static void qh_bmt_partition(qh_bmt_t *c) {
+    int64_t span = c->last - c->first + 1;
+    int a = (int)(span / 16);        /* >= 16 blocks per strip */
+    if (a > c->T) a = c->T;
+    if (a < 1) a = 1;
+    c->active = a;
+    for (int s = 0; s <= a; s++)
+        c->s_lo[s] = c->first + span * s / a;
+}
+
+/* serial maintenance between barriers (same decisions/shift as the
+ * serial kernel's loop tail) */
+static void qh_bmt_maintain(qh_bmt_t *c) {
+    int64_t first = c->first, last = c->last;
+    const int64_t pos_v = c->pos_v, pos_h = c->pos_h;
+    int64_t *sc = c->sc;
+    int cut_lower = (first + 2 < last) && (c->finish_v > QH_W * (first + 1))
+        && (sc[first + pos_v + 1 + c->prolog]
+            + (c->finish_v - QH_W * (first + 1))) > c->cutoff;
+    if (cut_lower && pos_h >= c->prolog) first += 1;
+    else if (!cut_lower && pos_h < c->prolog) first -= 1;
+    for (int64_t j = first; j < last; j++) {
+        c->Pv[j] = c->Pv[j + 1];
+        c->Mv[j] = c->Mv[j + 1];
+    }
+    c->Pv[last] = ~0ULL;
+    c->Mv[last] = 0;
+    int64_t pos = last + pos_v;
+    sc[pos + 1 + c->prolog] = sc[pos + c->prolog] + QH_W;
+    int cut_higher = (first + 2 < last) && (QH_W * (last - 1) > c->finish_v)
+        && (sc[last + pos_v - 1 + c->prolog]
+            + (QH_W * (last - 1) - c->finish_v)) > c->cutoff;
+    if (cut_higher || (pos_v + last >= c->nbr)) last -= 1;
+    c->first = first;
+    c->last = last;
+    c->pos_v = pos_v + 1;
+    c->pos_h = pos_h + 1;
+    qh_bmt_partition(c);
+}
+
+static void qh_bmt_work(qh_bmt_t *c, int s) {
+    int ls = 0;
+    uint8_t sink_p[4], sink_m[4];
+    for (int64_t k = 0; k < c->text_block; k++) {
+        const int64_t t0g = k * QH_W;
+        if (s < c->active) {
+            const int64_t lo = c->s_lo[s], hi = c->s_lo[s + 1] - 1;
+            for (int64_t t = 0; t < QH_W; t += 4) {
+                const uint8_t *cin_p = QH_ONE4, *cin_m = QH_ZERO4;
+                if (s > 0) {
+                    int64_t spins = 0;
+                    while (__atomic_load_n(&c->done[s - 1].v,
+                                           __ATOMIC_ACQUIRE) < t0g + t + 4)
+                        qh_spin_step(&spins);
+                    cin_p = &c->bp[s][t];
+                    cin_m = &c->bm[s][t];
+                }
+                uint8_t *co_p = sink_p, *co_m = sink_m;
+                if (s + 1 < c->active) {
+                    co_p = &c->bp[s + 1][t];
+                    co_m = &c->bm[s + 1][t];
+                }
+                qh_banded_cols4_c(c->peq, c->nw, c->lm_last, c->mod,
+                                  c->text, t0g + t, c->Pv, c->Mv, c->sc,
+                                  lo, hi, c->pos_v, c->prolog,
+                                  cin_p, cin_m, co_p, co_m);
+                if (s + 1 < c->active)
+                    __atomic_store_n(&c->done[s].v, t0g + t + 4,
+                                     __ATOMIC_RELEASE);
+            }
+        }
+        qh_sbar_wait(&c->bar, &ls);
+        if (s == 0) qh_bmt_maintain(c);
+        qh_sbar_wait(&c->bar, &ls);
+    }
+}
+
+static void *qh_bmt_thread(void *arg_) {
+    qh_bmt_arg_t *a = (qh_bmt_arg_t *)arg_;
+    int64_t spins = 0;
+    while (!__atomic_load_n(&a->c->go, __ATOMIC_ACQUIRE))
+        qh_spin_step(&spins);
+    qh_bmt_work(a->c, a->s);
+    return NULL;
+}
+
+static int64_t qh_banded_score_n(
     const uint8_t *pattern_enc, int64_t plen,
     const uint8_t *text_enc, int64_t text_finish,
     int64_t text_len, int64_t cutoff_score,
     uint64_t *pv_out, uint64_t *mv_out,
     int64_t *first_out, int64_t *last_out,
-    int64_t *scores_out, int64_t *ebb_out) {
+    int64_t *scores_out, int64_t *ebb_out, int64_t n_threads) {
     /* band geometry (model: band_geometry) */
     int64_t k_end = (text_len > plen ? text_len - plen : plen - text_len) + 1;
     int64_t cutoff = k_end > cutoff_score ? k_end : cutoff_score;
@@ -372,6 +556,74 @@ int64_t qh_banded_score(
 
     const uint64_t lm_last_w = mod ? (1ULL << (mod - 1)) : 0;
     int64_t text_block = text_finish / QH_W;
+    int Tmt = (int)(n_threads > QH_BMT_MAX ? QH_BMT_MAX : n_threads);
+    /* never oversubscribe: the wavefront needs every strip runnable */
+    long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+    if (ncpu > 0 && Tmt > ncpu) Tmt = (int)ncpu;
+    if (Tmt > 1 && text_block >= 8 && last - first + 1 >= 48) {
+        /* threaded wavefront over full 64-column blocks */
+        qh_bmt_t *bc = (qh_bmt_t *)calloc(1, sizeof(qh_bmt_t));
+        if (bc) {
+            bc->peq = peq; bc->nw = nw; bc->lm_last = lm_last_w;
+            bc->mod = mod; bc->text = text_enc;
+            bc->Pv = Pv; bc->Mv = Mv; bc->sc = sc;
+            bc->prolog = prolog; bc->cutoff = cutoff;
+            bc->finish_v = finish_v; bc->nbr = num_block_rows;
+            bc->text_block = text_block;
+            bc->first = first; bc->last = last;
+            bc->pos_v = pos_v; bc->pos_h = pos_h;
+            bc->T = Tmt;
+            pthread_t tids[QH_BMT_MAX];
+            qh_bmt_arg_t wargs[QH_BMT_MAX];
+            int spawned = 0;
+            for (int si = 1; si < Tmt; si++) {
+                wargs[si].c = bc; wargs[si].s = si;
+                if (pthread_create(&tids[si], NULL, qh_bmt_thread,
+                                   &wargs[si]) != 0)
+                    break;
+                spawned++;
+            }
+            bc->T = spawned + 1;
+            bc->bar.total = spawned + 1;
+            qh_bmt_partition(bc);
+            __atomic_store_n(&bc->go, 1, __ATOMIC_RELEASE);
+            qh_bmt_work(bc, 0);
+            for (int si = 1; si <= spawned; si++)
+                pthread_join(tids[si], NULL);
+            first = bc->first; last = bc->last;
+            pos_v = bc->pos_v; pos_h = bc->pos_h;
+            free(bc);
+            /* final (partial) block, scalar — the serial kernel's
+             * k == text_block iteration (no maintenance after it) */
+            for (int64_t t = text_block * QH_W; t < text_finish; t++) {
+                const int c = text_enc[t];
+                uint64_t phin = 1, mhin = 0;
+                for (int64_t i = first; i <= last; i++) {
+                    int64_t row = i + pos_v;
+                    uint64_t eq = (row < nw) ? peq[row * 5 + c] : ~0ULL;
+                    uint64_t lm = (row == nw - 1 && mod)
+                                      ? (1ULL << (mod - 1))
+                                      : (1ULL << 63);
+                    uint64_t pv = Pv[i], mv = Mv[i];
+                    uint64_t xv = eq | mv;
+                    uint64_t eq2 = eq | mhin;
+                    uint64_t xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+                    uint64_t ph = mv | ~(xh | pv);
+                    uint64_t mh = pv & xh;
+                    uint64_t phout = (ph & lm) ? 1 : 0;
+                    uint64_t mhout = (mh & lm) ? 1 : 0;
+                    ph = (ph << 1) | phin;
+                    mh = (mh << 1) | mhin;
+                    Pv[i] = mh | ~(xv | ph);
+                    Mv[i] = ph & xv;
+                    phin = phout;
+                    mhin = mhout;
+                    sc[row + prolog] += (int64_t)phout - (int64_t)mhout;
+                }
+            }
+            goto qh_bs_cols_done;
+        }
+    }
     for (int64_t k = 0; k <= text_block; k++) {
         int64_t t_end = (k < text_block) ? (k + 1) * QH_W : text_finish;
         int64_t t = k * QH_W;
@@ -430,6 +682,7 @@ int64_t qh_banded_score(
         pos_v += 1;
         pos_h += 1;
     }
+qh_bs_cols_done: ;
 
     int64_t final_block = (mod != 0) ? plen / QH_W : (plen - 1) / QH_W;
     if (final_block < 0) final_block = 0;
@@ -445,6 +698,32 @@ int64_t qh_banded_score(
 
     free(peq); free(Pv); free(Mv); free(sc);
     return score;
+}
+
+int64_t qh_banded_score(
+    const uint8_t *pattern_enc, int64_t plen,
+    const uint8_t *text_enc, int64_t text_finish,
+    int64_t text_len, int64_t cutoff_score,
+    uint64_t *pv_out, uint64_t *mv_out,
+    int64_t *first_out, int64_t *last_out,
+    int64_t *scores_out, int64_t *ebb_out) {
+    return qh_banded_score_n(pattern_enc, plen, text_enc, text_finish,
+                             text_len, cutoff_score, pv_out, mv_out,
+                             first_out, last_out, scores_out, ebb_out, 1);
+}
+
+/* threaded-wavefront entry (bit-exact with qh_banded_score) */
+int64_t qh_banded_score_mt(
+    const uint8_t *pattern_enc, int64_t plen,
+    const uint8_t *text_enc, int64_t text_finish,
+    int64_t text_len, int64_t cutoff_score,
+    uint64_t *pv_out, uint64_t *mv_out,
+    int64_t *first_out, int64_t *last_out,
+    int64_t *scores_out, int64_t *ebb_out, int64_t n_threads) {
+    return qh_banded_score_n(pattern_enc, plen, text_enc, text_finish,
+                             text_len, cutoff_score, pv_out, mv_out,
+                             first_out, last_out, scores_out, ebb_out,
+                             n_threads);
 }
 
 /* ----------------------------------- banded full align (CPU path) */
@@ -936,7 +1215,7 @@ static void qh_quicked_one(
     const uint8_t *p_raw, int64_t plen, const uint8_t *t_raw, int64_t tlen,
     int64_t bandwidth, int64_t ws, int64_t ovl,
     int64_t thr0, int64_t thr1, int64_t pct0, int64_t pct1,
-    int64_t budget,
+    int64_t budget, int64_t intra,
     int64_t *score_out, int64_t *status_out,
     char *ops_out, int64_t *ops_n_out) {
     const int64_t max_len = plen > tlen ? plen : tlen;
@@ -981,12 +1260,14 @@ static void qh_quicked_one(
             /* stage 3: banded score-only + telescoping retry */
             int64_t cut = max_len * bandwidth / 100;
             if (score < cut) cut = score;
-            int64_t ns = qh_banded_score(pe, plen, te, tlen, tlen, cut,
-                                         NULL, NULL, NULL, NULL, NULL, NULL);
+            int64_t ns = qh_banded_score_n(pe, plen, te, tlen, tlen, cut,
+                                           NULL, NULL, NULL, NULL, NULL,
+                                           NULL, intra);
             while ((ns > max_len / 4 && cut * 3 / 2 < ns) || ns < 0) {
                 cut *= 2;
-                ns = qh_banded_score(pe, plen, te, tlen, tlen, cut,
-                                     NULL, NULL, NULL, NULL, NULL, NULL);
+                ns = qh_banded_score_n(pe, plen, te, tlen, tlen, cut,
+                                       NULL, NULL, NULL, NULL, NULL,
+                                       NULL, intra);
             }
             score = ns;
         }
@@ -1037,6 +1318,7 @@ typedef struct {
     const int64_t *lengths;   /* 2*n line lengths */
     int64_t n_pairs;
     int64_t bandwidth, ws, ovl, thr0, thr1, pct0, pct1, budget;
+    int64_t intra;
     int64_t *scores;
     int64_t *status;
     char *ops;
@@ -1058,7 +1340,7 @@ static void *qh_batch_worker(void *arg) {
         qh_quicked_one(p, ctx->lengths[2 * i], t, ctx->lengths[2 * i + 1],
                        ctx->bandwidth, ctx->ws, ctx->ovl,
                        ctx->thr0, ctx->thr1, ctx->pct0, ctx->pct1,
-                       ctx->budget,
+                       ctx->budget, ctx->intra,
                        &ctx->scores[i], &ctx->status[i],
                        ctx->ops + ctx->ops_off[i], &ctx->ops_len[i]);
     }
@@ -1093,6 +1375,12 @@ int64_t qh_quicked_batch(
 
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 64) n_threads = 64;
+    /* leftover parallelism goes inside each pair's stage-3 band */
+    ctx.intra = 1;
+    if (n_pairs > 0 && n_threads > n_pairs) {
+        ctx.intra = n_threads / n_pairs;
+        if (ctx.intra > QH_BMT_MAX) ctx.intra = QH_BMT_MAX;
+    }
     if (n_threads > n_pairs) n_threads = n_pairs > 0 ? n_pairs : 1;
     if (n_threads == 1) {
         qh_batch_worker(&ctx);
@@ -1446,7 +1734,7 @@ int64_t qh_align(
         qh_quicked_one(pattern_raw, plen, text_raw, tlen,
                        bandwidth, window_size, overlap_size,
                        hew_thr0, hew_thr1, hew_pct0, hew_pct1,
-                       budget, &score, &st1, ops_out, &n);
+                       budget, 1, &score, &st1, ops_out, &n);
         if (st1 == 1) {
             /* stage-4 footprint over budget: finish with Hirschberg
              * under the proven bound (run_quicked ignores its status) */
@@ -1473,6 +1761,7 @@ typedef struct {
     const uint8_t *enc;
     const int64_t *p_off, *p_len, *t_off, *t_len, *cutoff, *tfinish;
     int64_t n;
+    int64_t intra;
     int want_state;
     int64_t *score;
     uint64_t *pv, *mv;
@@ -1492,18 +1781,19 @@ static void *qh_bsb_worker(void *arg) {
         pthread_mutex_unlock(&c->lock);
         if (i >= c->n) break;
         if (c->want_state) {
-            c->score[i] = qh_banded_score(
+            c->score[i] = qh_banded_score_n(
                 c->enc + c->p_off[i], c->p_len[i],
                 c->enc + c->t_off[i], c->tfinish[i], c->t_len[i],
                 c->cutoff[i],
                 c->pv + i * c->ebb_stride, c->mv + i * c->ebb_stride,
                 &c->first[i], &c->last[i],
-                c->scores + i * c->rows_stride, &c->ebb[i]);
+                c->scores + i * c->rows_stride, &c->ebb[i], c->intra);
         } else {
-            c->score[i] = qh_banded_score(
+            c->score[i] = qh_banded_score_n(
                 c->enc + c->p_off[i], c->p_len[i],
                 c->enc + c->t_off[i], c->tfinish[i], c->t_len[i],
-                c->cutoff[i], NULL, NULL, NULL, NULL, NULL, NULL);
+                c->cutoff[i], NULL, NULL, NULL, NULL, NULL, NULL,
+                c->intra);
         }
     }
     return NULL;
@@ -1529,6 +1819,11 @@ int64_t qh_banded_score_batch(
     c.p_off = p_off; c.p_len = p_len; c.t_off = t_off; c.t_len = t_len;
     c.cutoff = cutoff; c.tfinish = tfinish;
     c.n = n;
+    c.intra = 1;
+    if (n > 0 && n_threads > n) {
+        c.intra = n_threads / n;
+        if (c.intra > QH_BMT_MAX) c.intra = QH_BMT_MAX;
+    }
     c.want_state = (int)want_state;
     c.score = score_out;
     c.pv = pv_out; c.mv = mv_out; c.ebb_stride = ebb_stride;

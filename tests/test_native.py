@@ -116,3 +116,38 @@ def test_native_batched_score_parity():
             np.testing.assert_array_equal(
                 np.asarray(a[k])[..., :24], np.asarray(b[k])[..., :24],
                 err_msg=f"{k} ld={ld} half={half}")
+
+
+def test_native_banded_score_mt_parity():
+    """qh_banded_score_mt (threaded wavefront row strips) is bit-exact
+    with the serial kernel: score and full band state (pv/mv words,
+    first/last, block-row scores), across band depths and midpoint
+    (Hirschberg half) finishes."""
+    from quicked_tpu import dna
+
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        plen = int(rng.integers(200, 9000))
+        tlen = plen + int(rng.integers(-60, 60))
+        p = rng.integers(0, 4, plen).astype(np.uint8)
+        if rng.random() < 0.5:
+            t = rng.integers(0, 4, tlen).astype(np.uint8)
+        else:
+            t = (np.resize(p, tlen)).copy()
+            idx = rng.integers(0, tlen, max(1, tlen // 40))
+            t[idx] = (t[idx] + 1) % 4
+        cutoff = int(rng.integers(8, max(9, plen // 3)))
+        fin = tlen if trial % 2 == 0 else max(1, tlen // 2)
+        for nt in (2, 4):
+            s1 = native.banded_score(p, t, cutoff, tlen, fin)
+            s2 = native.banded_score(p, t, cutoff, tlen, fin, n_threads=nt)
+            assert s1 == s2, (trial, nt)
+        d1 = native.banded_score(p, t, cutoff, tlen, fin, want_state=True)
+        d2 = native.banded_score(p, t, cutoff, tlen, fin, want_state=True,
+                                 n_threads=4)
+        assert d1["score"] == d2["score"]
+        assert d1["first"] == d2["first"] and d1["last"] == d2["last"]
+        np.testing.assert_array_equal(d1["pv"], d2["pv"])
+        np.testing.assert_array_equal(d1["mv"], d2["mv"])
+        np.testing.assert_array_equal(d1["scores"][:d1["ebb"]],
+                                      d2["scores"][:d2["ebb"]])
