@@ -131,7 +131,13 @@ def main():
                     help="run one workload (1-5); default: all")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale factor on dataset sizes")
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="force the JAX platform (default: environment)")
     args = ap.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     from quicked_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()

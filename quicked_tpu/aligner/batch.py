@@ -167,13 +167,15 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
         )
         import os
 
-        from quicked_tpu.ops.banded_pallas import pallas_available
         # QUICKED_TPU_FULL_DEVICE=0 opts out (e.g. on high-latency
-        # dev tunnels where the plane transfer dominates)
-        if pallas_available() and native_available() and \
+        # dev tunnels where the plane transfer dominates). Platform
+        # check first: importing the pallas module costs >1 s, which
+        # CPU-only hosts should never pay.
+        if jax.devices()[0].platform == "tpu" and native_available() and \
                 os.environ.get("QUICKED_TPU_FULL_DEVICE", "1") != "0":
-            device_full = True
-        elif native_available():
+            from quicked_tpu.ops.banded_pallas import pallas_available
+            device_full = pallas_available()
+        if not device_full and native_available():
             # no accelerator: the per-pair C fill+traceback is the
             # fastest host path
             return run_banded_full_native(patterns, texts, cutoffs)

@@ -80,14 +80,25 @@ def hirschberg_batch(texts, patterns, cutoffs):
             # releases the GIL), halving the per-level wall time for
             # single long pairs (bpm_hirschberg.c:84-100)
             from concurrent.futures import ThreadPoolExecutor
+            import os
+
+            from quicked_tpu import native
+
+            # each concurrent half gets half the host cores, so the
+            # intra-band threaded wavefront in the native kernel never
+            # oversubscribes (2 halves x ncpu threads live-locks the
+            # strip carries on small hosts)
+            half_budget = max((os.cpu_count() or 2) // 2, 1)
+
+            def _half(ps, ts, fins):
+                with native.thread_budget(half_budget):
+                    return banded_score_results(ps, ts, cos,
+                                                text_finish=fins)
 
             with ThreadPoolExecutor(max_workers=2) as ex:
-                f_fwd = ex.submit(banded_score_results, pats, txts, cos,
-                                  text_finish=mids)
-                f_rev = ex.submit(banded_score_results,
-                                  [p[::-1] for p in pats],
-                                  [t[::-1] for t in txts], cos,
-                                  text_finish=mids_r)
+                f_fwd = ex.submit(_half, pats, txts, mids)
+                f_rev = ex.submit(_half, [p[::-1] for p in pats],
+                                  [t[::-1] for t in txts], mids_r)
                 fwd = f_fwd.result()
                 rev = f_rev.result()
             for t, f, r, mid in zip(split, fwd, rev, mids):

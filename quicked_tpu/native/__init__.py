@@ -23,6 +23,37 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
+# Per-thread default-thread-count override (see thread_budget): lets a
+# caller running several native calls concurrently split the host cores
+# between them instead of each call claiming cpu_count.
+_tls = threading.local()
+
+
+def default_threads() -> int:
+    """Default n_threads for batched native calls: the active
+    thread_budget if set, else QUICKED_TPU_CPU_THREADS, else all cores."""
+    budget = getattr(_tls, "budget", None)
+    if budget is not None:
+        return budget
+    return int(os.environ.get("QUICKED_TPU_CPU_THREADS",
+                              os.cpu_count() or 1))
+
+
+class thread_budget:
+    """Context manager bounding this thread's native-call thread use."""
+
+    def __init__(self, n: int):
+        self._n = max(int(n), 1)
+
+    def __enter__(self):
+        self._prev = getattr(_tls, "budget", None)
+        _tls.budget = self._n
+        return self
+
+    def __exit__(self, *exc):
+        _tls.budget = self._prev
+        return False
+
 _u32p = ctypes.POINTER(ctypes.c_uint32)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _i64 = ctypes.c_int64
@@ -47,12 +78,61 @@ def _build() -> bool:
     return False
 
 
+def _retain_large_allocations():
+    """Raise glibc's mmap/trim thresholds so the batch lanes' large
+    scratch buffers (packed sequences, op planes, RLE output) are
+    reused from the heap instead of munmap'd on every free. First-touch
+    page faults on this class of VM are erratically slow (measured
+    10 ms..5 s for an 80 MB working set, PERFORMANCE.md); retaining the
+    pages makes warm batch calls deterministic. QUICKED_TPU_MALLOC_RETAIN=0
+    opts out (lower RSS, variable latency)."""
+    if os.environ.get("QUICKED_TPU_MALLOC_RETAIN", "1") == "0":
+        return
+    try:
+        libc = ctypes.CDLL(None)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except (OSError, AttributeError):
+        pass  # non-glibc: no mallopt, keep defaults
+
+
+_prefaulted = False
+
+
+def _ensure_prefault():
+    """Pre-fault the heap once, sequentially, from this thread:
+    demand-faulting the same pages later in random order from the
+    concurrent batch workers is ~20x slower per page (mmap_lock
+    contention) and was the dominant cost of a cold large batch call
+    (2.7 s -> 0.36 s measured). Called lazily before the first large
+    batch so tiny calls never pay the ~80 ms."""
+    global _prefaulted
+    if _prefaulted:
+        return
+    _prefaulted = True
+    if os.environ.get("QUICKED_TPU_MALLOC_RETAIN", "1") == "0":
+        return
+    try:
+        libc = ctypes.CDLL(None)
+        mb = int(os.environ.get("QUICKED_TPU_MALLOC_PREFAULT_MB", 128))
+        if mb > 0:
+            libc.malloc.restype = ctypes.c_void_p
+            p = libc.malloc(mb << 20)
+            if p:
+                ctypes.memset(p, 0, mb << 20)
+                libc.free(ctypes.c_void_p(p))
+    except (OSError, AttributeError):
+        pass
+
+
 def _load():
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        _retain_large_allocations()
         if not os.path.exists(_LIB_PATH) or \
                 os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
             if not _build():
@@ -253,11 +333,12 @@ def banded_score_batch(enc_patterns, enc_texts, cutoffs, tfinishes,
     lib = _load()
     n = len(enc_patterns)
     if n_threads is None:
-        n_threads = int(os.environ.get("QUICKED_TPU_CPU_THREADS",
-                                       os.cpu_count() or 1))
+        n_threads = default_threads()
     enc_list = [np.ascontiguousarray(e, dtype=np.uint8)
                 for pair in zip(enc_patterns, enc_texts) for e in pair]
     lens = np.fromiter(map(len, enc_list), np.int64, 2 * n)
+    if int(lens.sum()) > 1 << 18:
+        _ensure_prefault()
     offs = np.zeros(2 * n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
     buf = b"".join(e.tobytes() for e in enc_list)
@@ -387,14 +468,56 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
     lib = _load()
     n = len(patterns)
     if n_threads is None:
-        n_threads = int(os.environ.get("QUICKED_TPU_CPU_THREADS",
-                                       os.cpu_count() or 1))
+        n_threads = default_threads()
     def as_bytes(s):
         return (s.encode("ascii", "replace") if isinstance(s, str)
                 else np.asarray(s, dtype=np.uint8).tobytes())
 
     pats_b = [as_bytes(p) for p in patterns]
     txts_b = [as_bytes(t) for t in texts]
+
+    # Chunk large batches so the scratch working set (packed sequences,
+    # op planes, RLE output ~6x the bases) stays small and is REUSED
+    # across chunks from the retained heap (_retain_large_allocations):
+    # first-touch page faults on fresh pages are erratically slow on
+    # VM hosts, and one-shot scratch for a 1M-pair stream would be ~GB.
+    chunk_bases = int(os.environ.get("QUICKED_TPU_BATCH_CHUNK_BASES",
+                                     8 << 20))
+    total_bases = sum(map(len, pats_b)) + sum(map(len, txts_b))
+    if total_bases > 1 << 18:
+        _ensure_prefault()
+    if n > 1 and total_bases > 2 * chunk_bases:
+        status = np.zeros(n, dtype=np.int64)
+        scores = np.zeros(n, dtype=np.int64)
+        ops: list = []
+        lo = 0
+        while lo < n:
+            hi, acc = lo, 0
+            while hi < n and (hi == lo or acc < chunk_bases):
+                acc += len(pats_b[hi]) + len(txts_b[hi])
+                hi += 1
+            c_st, c_sc, c_ops = _quicked_batch_run(
+                lib, pats_b[lo:hi], txts_b[lo:hi],
+                bandwidth=bandwidth, window_size=window_size,
+                overlap_size=overlap_size, hew_threshold=hew_threshold,
+                hew_percentage=hew_percentage, budget=budget,
+                n_threads=n_threads, rle=rle)
+            status[lo:hi] = c_st
+            scores[lo:hi] = c_sc
+            ops.extend(c_ops)
+            lo = hi
+        return status, scores, ops
+    return _quicked_batch_run(
+        lib, pats_b, txts_b, bandwidth=bandwidth,
+        window_size=window_size, overlap_size=overlap_size,
+        hew_threshold=hew_threshold, hew_percentage=hew_percentage,
+        budget=budget, n_threads=n_threads, rle=rle)
+
+
+def _quicked_batch_run(lib, pats_b, txts_b, *, bandwidth, window_size,
+                       overlap_size, hew_threshold, hew_percentage,
+                       budget, n_threads, rle):
+    n = len(pats_b)
     lengths = np.empty(2 * n, dtype=np.int64)
     lengths[0::2] = np.fromiter(map(len, pats_b), np.int64, n)
     lengths[1::2] = np.fromiter(map(len, txts_b), np.int64, n)

@@ -151,3 +151,31 @@ def test_native_banded_score_mt_parity():
         np.testing.assert_array_equal(d1["mv"], d2["mv"])
         np.testing.assert_array_equal(d1["scores"][:d1["ebb"]],
                                       d2["scores"][:d2["ebb"]])
+
+
+def test_native_quicked_batch_chunking():
+    """quicked_batch chunks large batches internally (bounded scratch,
+    reused pages); results must be identical to one-shot processing."""
+    from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    pairs = _pairs(300, 400, 0.1, 5)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    kw = dict(bandwidth=15, window_size=9, overlap_size=1,
+              hew_threshold=(40, 40), hew_percentage=(50, 50),
+              budget=HIRSCHBERG_BUFFER_SIZE, rle=True)
+    one = native.quicked_batch(pats, txts, **kw)
+    old = os.environ.get("QUICKED_TPU_BATCH_CHUNK_BASES")
+    os.environ["QUICKED_TPU_BATCH_CHUNK_BASES"] = "20000"  # ~25 pairs
+    try:
+        chunked = native.quicked_batch(pats, txts, **kw)
+    finally:
+        if old is None:
+            del os.environ["QUICKED_TPU_BATCH_CHUNK_BASES"]
+        else:
+            os.environ["QUICKED_TPU_BATCH_CHUNK_BASES"] = old
+    np.testing.assert_array_equal(one[0], chunked[0])
+    np.testing.assert_array_equal(one[1], chunked[1])
+    assert one[2] == chunked[2]
