@@ -20,9 +20,12 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# Lane count sets VPU utilization: measured on v5e, the banded kernel
-# scales 1.6 -> 7.6 -> 8.3 Gbases/s at B = 512 / 2048 / 4096.
-N_PAIRS = 4096
+# Batch size amortizes the fixed dispatch/tunnel overhead (~33 ms) and
+# lane-tile width sets Mosaic instruction efficiency. Measured on v5e
+# (L=5 kbp, 15% band): 330 Mb/s @ B=4096/lanes=1024 -> 599 @ 16384/2048
+# -> 681 @ 32768/2048 (marginal kernel rate ~0.79 Gb/s; lanes=4096
+# exceeds VMEM). stage_batch picks the lane tile from its VMEM model.
+N_PAIRS = 32768
 LENGTH = 5000
 ERROR = 0.10
 BANDWIDTH = 15

@@ -356,14 +356,46 @@ def pallas_available() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
+# v5e VMEM is ~16 MB/core; leave headroom for Mosaic's own temporaries.
+VMEM_BUDGET = 15 * 2 ** 20
+
+
+def score_lanes(EBB8: int, NB: int) -> int:
+    """Widest lane tile whose VMEM footprint fits the score kernel.
+
+    Measured on v5e (B=16384, L=5 kbp, EBB8=16): lane tile 2048 is +13%
+    over 1024 (fewer, wider Mosaic instructions); 4096 fails to compile
+    (VMEM). Footprint model: scratch rows once, block-spec'd rows twice
+    (Mosaic double-buffers pipelined blocks across grid steps).
+    """
+    scratch_rows = ((EBB8 + 8) * 18      # peq windows (2x8) + lm (2x1)
+                    + EBB8 * 4           # pv/mv band state
+                    + (EBB8 + 1) + 2)    # scw + first/last
+    block_rows = (64                     # text
+                  + (EBB8 + 1)           # init_scores
+                  + 8                    # lane-vector consts
+                  + (NB + EBB8 + 1)      # scores out
+                  + EBB8 * 4 + 2)        # pv/mv out + first/last out
+    rows = scratch_rows + 2 * block_rows
+    for lanes in (2048, 1024, 512, 256):
+        if rows * 4 * lanes <= VMEM_BUDGET:
+            return lanes
+    return 128
+
+
 def stage_batch(batch: BandedBatch, lanes: int | None = None):
     """Host prep + device transfer for the Pallas kernel: returns
     (device_args dict, statics dict). Staging once lets callers time or
     repeat kernel executions without re-uploading (the production
     pipeline streams batches; bench.py times compute only)."""
-    if lanes is None:
-        lanes = LANES_FULL if batch.full else LANES
     B = batch.B
+    EBB8_pre = -(-batch.EBB // 8) * 8
+    if lanes is None:
+        if batch.full:
+            lanes = LANES_FULL
+        else:
+            b_p2 = max(256, 1 << max(B - 1, 0).bit_length())
+            lanes = min(score_lanes(EBB8_pre, batch.NB), b_p2)
     # Mosaic DMA slices must be 8-row aligned: round the band window up
     # and extend the shifted-frame arrays accordingly (the extra rows are
     # never live — per-lane last0 < EBB — and the scores window extension
