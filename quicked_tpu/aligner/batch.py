@@ -84,6 +84,35 @@ CSCAN_MIN_EBB = 48
 CSCAN_MAX_B = 32
 
 
+_LINK_MBPS: list = []    # cached device->host readback bandwidth probe
+
+# Below this device->host bandwidth the full-fill band-plane readback
+# dominates any device fill speedup, so full (traceback) fills stay on
+# the host C kernel. A 30 kbp base case reads back ~13 MB of planes the
+# C kernel re-derives in ~50 ms: break-even ~250 MB/s. Production
+# PCIe/directly-attached hosts (GB/s) clear it; this environment's dev
+# tunnel (~20 MB/s) does not — measured: workload 4 (16 x 30 kbp) is
+# 187 s device-full vs sub-second host-full through the tunnel.
+FULL_DEVICE_MIN_MBPS = 250.0
+
+
+def _device_readback_mbps() -> float:
+    """One-time probe of device->host transfer bandwidth (MB/s)."""
+    if not _LINK_MBPS:
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        buf = jax.device_put(jnp.zeros((8, 1024, 1024), jnp.uint8))
+        buf.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(buf)
+        dt = max(time.perf_counter() - t0, 1e-9)
+        _LINK_MBPS.append(8.0 / dt)
+    return _LINK_MBPS[0]
+
+
 def _run_banded_auto(batch):
     """Pick the banded kernel by batch geometry (score-only batches)."""
     if not batch.full:
@@ -167,14 +196,20 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
         )
         import os
 
-        # QUICKED_TPU_FULL_DEVICE=0 opts out (e.g. on high-latency
-        # dev tunnels where the plane transfer dominates). Platform
-        # check first: importing the pallas module costs >1 s, which
-        # CPU-only hosts should never pay.
+        # Venue choice for full (traceback) fills: the device kernel is
+        # faster at filling, but its band planes must come back to the
+        # host for the traceback walk, so it only wins when the
+        # device->host link clears FULL_DEVICE_MIN_MBPS (one-time
+        # probe). QUICKED_TPU_FULL_DEVICE=1/0 force-overrides either
+        # way. Platform check first: importing the pallas module costs
+        # >1 s, which CPU-only hosts should never pay.
+        env = os.environ.get("QUICKED_TPU_FULL_DEVICE")
         if jax.devices()[0].platform == "tpu" and native_available() and \
-                os.environ.get("QUICKED_TPU_FULL_DEVICE", "1") != "0":
+                env != "0":
             from quicked_tpu.ops.banded_pallas import pallas_available
-            device_full = pallas_available()
+            device_full = pallas_available() and (
+                env == "1"
+                or _device_readback_mbps() >= FULL_DEVICE_MIN_MBPS)
         if not device_full and native_available():
             # no accelerator: the per-pair C fill+traceback is the
             # fastest host path

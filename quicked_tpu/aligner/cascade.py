@@ -176,11 +176,36 @@ def windowed_full_batch(patterns, texts, window_size: int,
     return out
 
 
-# Pairs at or below this length run the whole cascade through the
-# one-call native batch lane even on accelerator platforms: tiny pairs
-# are dominated by per-batch dispatch latency on device, while the C
-# lane does stage 1 + full align in ~5 us/pair (pthread pool inside).
-NATIVE_CASCADE_MAX_LEN = 2048
+# Pairs at or below _native_fast_max() run the whole cascade through
+# the one-call native batch lane even on accelerator platforms.
+# Measured (v5e via the dev tunnel, warm, full QuickEd incl. CIGARs):
+# native 42k/13.6k/7.8k/4.2k pairs/s at L=1/2/4/8 kbp vs staged device
+# 126/51/25/8 pairs/s — the staged full-fill path is bound by the band
+# plane readback (~tunnel bandwidth), so the crossover sits at the
+# stage-4 Hirschberg base-case budget: beyond it the native lane defers
+# stage 4 to the batched (device-backed) Hirschberg driver anyway, and
+# the staged lane's deep-band score kernels take over.
+NATIVE_CASCADE_MAX_LEN = None   # None -> derived from bandwidth/budget
+
+
+def _native_fast_max(bandwidth: int) -> int:
+    """Largest pair length whose worst-case stage-4 banded footprint
+    (ebb * text_len * 8 * 2, bpm_hirschberg.c:63-65) fits the 16 MB
+    Hirschberg base-case budget — ~20 kbp at the default 15% band."""
+    from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE
+
+    def fits(L: int) -> bool:
+        ebb = (L * bandwidth // 100) // W + 2
+        return ebb * L * 16 <= HIRSCHBERG_BUFFER_SIZE
+
+    lo, hi = W, 1 << 22
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if fits(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
 
 def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
@@ -205,8 +230,13 @@ def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
 
     from quicked_tpu import native
     import os as _os
-    fast_max = int(_os.environ.get("QUICKED_TPU_NATIVE_CASCADE_MAX_LEN",
-                                   NATIVE_CASCADE_MAX_LEN))
+    env = _os.environ.get("QUICKED_TPU_NATIVE_CASCADE_MAX_LEN")
+    if env is not None:
+        fast_max = int(env)
+    elif NATIVE_CASCADE_MAX_LEN is not None:
+        fast_max = NATIVE_CASCADE_MAX_LEN
+    else:
+        fast_max = _native_fast_max(params.bandwidth)
     if native.available() and params.window_size <= 16:
         import jax
         if jax.devices()[0].platform == "cpu":
