@@ -113,6 +113,63 @@ def _device_readback_mbps() -> float:
     return _LINK_MBPS[0]
 
 
+_DISPATCH_S: list = []
+
+# Measured block-advance throughputs for the small-batch deep-band
+# regime (PERFORMANCE.md): the threaded C wavefront kernel sustains
+# ~1.1e8 block-advances/s/core (4.3e8 on this 4-core host: ONT stage-3
+# 3.2e8 advances in 0.75 s); the carry-scan Mosaic kernel ~5.7e8
+# (36.5 Gcells/s / 64). The rates are close, so the per-call dispatch
+# latency decides the venue: ~1 ms on directly-attached hosts (device
+# wins for big fills), ~0.3-1 s through the dev tunnel (host wins).
+HOST_ADV_PER_S_PER_CORE = 1.1e8
+CSCAN_ADV_PER_S = 5.7e8
+# Pairs-as-lanes device kernel: ~1e10 block-advances/s with full 2048
+# lane tiles (0.79 Gbases/s marginal at 13-block bands); scales ~with
+# lane occupancy below one tile.
+PALLAS_ADV_PER_S = 1.0e10
+
+
+def _device_dispatch_s() -> float:
+    """One-time probe of per-call device dispatch latency (seconds).
+    Times the second call of a trivial jitted op so compile time is
+    excluded; materializes the output (async dispatch under-reports)."""
+    if not _DISPATCH_S:
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda a: a * 2)
+        x = jnp.arange(256)
+        np.asarray(f(x))
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        _DISPATCH_S.append(max(time.perf_counter() - t0, 1e-6))
+    return _DISPATCH_S[0]
+
+
+def _deep_band_advances(batch) -> float:
+    """Upper-bound block-advance count for a score batch."""
+    n = len(batch.enc_patterns) if batch.enc_patterns is not None \
+        else batch.B
+    ebb = batch.cutoff[:n].astype(np.int64) // W + 1
+    return float(np.sum(batch.tfinish[:n].astype(np.int64) * ebb))
+
+
+def _score_device_est_s(batch, adv: float, kernel_adv_per_s: float) -> float:
+    """Estimated wall time of a device score pass: dispatch latency +
+    input staging over the measured link + kernel time. The staging
+    term is what high-latency links are actually bound by (the PEQ/
+    level-mask/text planes upload on every engine call)."""
+    bytes_up = (batch.peq_lo.nbytes + batch.peq_hi.nbytes
+                + batch.lm_lo.nbytes + batch.lm_hi.nbytes
+                + batch.text.nbytes)
+    link = _device_readback_mbps() * 1e6
+    return (_device_dispatch_s() + bytes_up / link
+            + adv / kernel_adv_per_s)
+
+
 def _run_banded_auto(batch):
     """Pick the banded kernel by batch geometry (score-only batches)."""
     if not batch.full:
@@ -132,9 +189,25 @@ def _run_banded_auto(batch):
                 (batch.B <= CSCAN_MAX_B and batch.EBB >= CSCAN_MIN_EBB)
             # Deep bands / tiny batches: the carry-scan Mosaic kernel
             # (proven on-chip: parity + 36.5 Gcells/s at EBB 1189 after
-            # the 8-sublane-tile DMA fix). QUICKED_TPU_CSCAN=0 opts out
-            # to the XLA wavefront scan.
+            # the 8-sublane-tile DMA fix) — unless the estimated host C
+            # time undercuts dispatch latency + device time (it does on
+            # high-latency links; Hirschberg levels dispatch many small
+            # score passes). QUICKED_TPU_CSCAN=0 opts out to the XLA
+            # wavefront scan.
             if deep and os.environ.get("QUICKED_TPU_CSCAN", "1") == "1":
+                from quicked_tpu.ops.banded_native import (
+                    native_available as _host_ok,
+                    run_banded_native as _run_host,
+                )
+                if _host_ok() and batch.enc_patterns is not None:
+                    import os as _os
+                    adv = _deep_band_advances(batch)
+                    cores = max(_os.cpu_count() or 1, 1)
+                    est_host = adv / (HOST_ADV_PER_S_PER_CORE * cores)
+                    est_dev = _score_device_est_s(batch, adv,
+                                                  CSCAN_ADV_PER_S)
+                    if est_host < est_dev:
+                        return _run_host(batch)
                 from quicked_tpu.ops.banded_cscan_pallas import (
                     run_banded_cscan_pallas,
                 )
@@ -144,6 +217,24 @@ def _run_banded_auto(batch):
                     run_banded_wavefront,
                 )
                 return run_banded_wavefront(batch)
+            # Shallow bands: pairs-as-lanes device kernel, unless lane
+            # occupancy is so low that dispatch latency + a starved VPU
+            # lose to the host C kernel (e.g. Hirschberg levels over a
+            # handful of pairs).
+            from quicked_tpu.ops.banded_native import (
+                native_available as _host_ok,
+                run_banded_native as _run_host,
+            )
+            if _host_ok() and batch.enc_patterns is not None:
+                n_live = len(batch.enc_patterns)
+                adv = _deep_band_advances(batch)
+                cores = max(os.cpu_count() or 1, 1)
+                est_host = adv / (HOST_ADV_PER_S_PER_CORE * cores)
+                occ = max(min(n_live / 2048.0, 1.0), 1e-3)
+                est_dev = _score_device_est_s(batch, adv,
+                                              PALLAS_ADV_PER_S * occ)
+                if est_host < est_dev:
+                    return _run_host(batch)
             from quicked_tpu.ops.banded_pallas import run_banded_pallas
             return run_banded_pallas(batch)
         if batch.EBB >= WAVEFRONT_MIN_EBB and batch.B <= WAVEFRONT_MAX_B:
