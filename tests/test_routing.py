@@ -1,0 +1,72 @@
+"""Venue-router units: the probe-fed estimates that pick host-C vs
+device kernels per batch (aligner/batch.py). The TPU branches are
+exercised on hardware by the bench/verify runs; these tests pin the
+estimate math and the budget-derived native-lane ceiling on CPU."""
+
+import numpy as np
+
+from quicked_tpu import generate
+from quicked_tpu.aligner import batch as ab
+from quicked_tpu.aligner.cascade import _native_fast_max
+from quicked_tpu.ops.batch_prep import prepare_banded_batch
+from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE
+
+
+def _batch(n=4, length=600, bw=15, seed=11):
+    pairs = list(generate.generate_pairs(n, length, error=0.1, seed=seed))
+    cutoffs = [max(len(p), len(t)) * bw // 100 for p, t in pairs]
+    return prepare_banded_batch([p for p, _ in pairs],
+                                [t for _, t in pairs], cutoffs, full=False)
+
+
+def test_native_fast_max_is_budget_boundary():
+    for bw in (5, 15, 50, 100):
+        L = _native_fast_max(bw)
+        ebb = (L * bw // 100) // 64 + 2
+        assert ebb * L * 16 <= HIRSCHBERG_BUFFER_SIZE
+        L1 = L + 1
+        ebb1 = (L1 * bw // 100) // 64 + 2
+        assert ebb1 * L1 * 16 > HIRSCHBERG_BUFFER_SIZE
+    # monotone in bandwidth: wider bands -> shorter ceiling
+    assert _native_fast_max(5) > _native_fast_max(15) > _native_fast_max(50)
+
+
+def test_deep_band_advances_bounds_work():
+    b = _batch(n=3, length=640)
+    adv = ab._deep_band_advances(b)
+    # each live pair contributes tfinish * (cutoff//64 + 1) advances
+    want = sum(int(b.tfinish[i]) * (int(b.cutoff[i]) // 64 + 1)
+               for i in range(3))
+    assert adv == float(want)
+
+
+def test_score_device_estimate_scales_with_link(monkeypatch):
+    b = _batch()
+    adv = ab._deep_band_advances(b)
+    monkeypatch.setattr(ab, "_DISPATCH_S", [0.001])
+    monkeypatch.setattr(ab, "_LINK_MBPS", [10_000.0])   # PCIe-class
+    fast = ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S)
+    monkeypatch.setattr(ab, "_LINK_MBPS", [20.0])       # dev tunnel
+    slow = ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S)
+    assert slow > fast
+    bytes_up = (b.peq_lo.nbytes + b.peq_hi.nbytes + b.lm_lo.nbytes
+                + b.lm_hi.nbytes + b.text.nbytes)
+    np.testing.assert_allclose(slow - fast,
+                               bytes_up / 20e6 - bytes_up / 10e9,
+                               rtol=1e-6)
+
+
+def test_venue_decision_flips_with_link(monkeypatch):
+    """On a fast link with low dispatch latency a big batch favors the
+    device; through a slow high-latency link the same batch favors the
+    host — the decision the TPU branch of _run_banded_auto makes."""
+    b = _batch(n=32, length=30_000, bw=15)
+    adv = ab._deep_band_advances(b)
+    cores = 4
+    est_host = adv / (ab.HOST_ADV_PER_S_PER_CORE * cores)
+    monkeypatch.setattr(ab, "_DISPATCH_S", [0.0005])
+    monkeypatch.setattr(ab, "_LINK_MBPS", [10_000.0])
+    assert ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S) < est_host
+    monkeypatch.setattr(ab, "_DISPATCH_S", [0.5])
+    monkeypatch.setattr(ab, "_LINK_MBPS", [20.0])
+    assert ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S) > est_host
