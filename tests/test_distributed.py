@@ -22,15 +22,78 @@ def test_shard_equivalence(tmp_path):
     assert n == 12
 
     # simulate 3 processes sequentially over the same shared directory
-    # (coordinator last, so its merge sees every shard)
+    # (coordinator last, so its merge sees every shard), in both
+    # sharding modes — byte-range slices and strided ids
+    with open(out1) as f1:
+        ref = f1.read()
+    for mode in ("interleaved", "range", "stride"):
+        out3 = str(tmp_path / f"out3_{mode}.tsv")
+        total = 0
+        for pi in (1, 2, 0):
+            total += distributed_align(seq, out3, params, process_index=pi,
+                                       process_count=3, sharding=mode)
+        assert total == 12
+        with open(out3) as f3:
+            assert f3.read() == ref
+
+
+def test_interleaved_many_small_chunks(tmp_path, monkeypatch):
+    # chunk size smaller than a record: empty chunks, chunk runs split
+    # across processes, ordered merge must still reproduce input order
+    from quicked_tpu.parallel import distributed as dist
+
+    monkeypatch.setattr(dist, "CHUNK_BYTES", 64)
+    pairs = list(generate.generate_pairs(10, 90, error=0.1, seed=80))
+    seq = str(tmp_path / "in.seq")
+    seqio.write_seq_pairs(seq, pairs)
+    params = QuickedParams(algo=QuickedAlgo.BANDED, bandwidth=30)
+    out1 = str(tmp_path / "out1.tsv")
+    distributed_align(seq, out1, params, process_index=0, process_count=1,
+                      sharding="stride")
     out3 = str(tmp_path / "out3.tsv")
     total = 0
-    for pi in (1, 2, 0):
+    for pi in (2, 1, 0):
         total += distributed_align(seq, out3, params, process_index=pi,
-                                   process_count=3)
-    assert total == 12
+                                   process_count=3, sharding="interleaved")
+    assert total == 10
     with open(out1) as f1, open(out3) as f3:
         assert f1.read() == f3.read()
+
+
+def test_pair_start_at(tmp_path):
+    pairs = [("ACGT" * k, "ACGA" * k) for k in range(1, 6)]
+    seq = str(tmp_path / "in.seq")
+    seqio.write_seq_pairs(seq, pairs)
+    size = os.path.getsize(seq)
+    data = open(seq, "rb").read()
+    starts = [0]
+    for i, ch in enumerate(data):
+        if ch == ord(">") and data[i - 1] == ord("\n"):
+            starts.append(i)
+    # every byte position maps to the next true record start
+    for pos in range(size + 2):
+        expect = next((s for s in starts if s >= pos), size)
+        assert seqio.pair_start_at(seq, pos) == expect
+    # tiny chunk size exercises the cross-chunk "\n>" boundary carry
+    mid = starts[2] - 1
+    assert seqio.pair_start_at(seq, mid, chunk_bytes=1) == starts[2]
+
+
+def test_range_sharding_more_processes_than_pairs(tmp_path):
+    pairs = list(generate.generate_pairs(3, 80, error=0.05, seed=79))
+    seq = str(tmp_path / "in.seq")
+    seqio.write_seq_pairs(seq, pairs)
+    params = QuickedParams(algo=QuickedAlgo.BANDED, bandwidth=30)
+    out1 = str(tmp_path / "out1.tsv")
+    distributed_align(seq, out1, params, process_index=0, process_count=1)
+    outn = str(tmp_path / "outn.tsv")
+    total = 0
+    for pi in (4, 3, 2, 1, 0):
+        total += distributed_align(seq, outn, params, process_index=pi,
+                                   process_count=5)
+    assert total == 3
+    with open(out1) as f1, open(outn) as fn:
+        assert f1.read() == fn.read()
 
 
 def test_concurrent_processes(tmp_path):
