@@ -124,9 +124,11 @@ def run_sysband_pair(batch: BandedBatch, j: int, ns_rows: int | None = None,
     tf64 = tfinish // W          # chunks with do_shift true
     text = batch.text[:, j].astype(np.int64)
 
-    # resident window: EBB+2 rows of band + one recenter slab + margin
+    # resident window: EBB+2 rows of band + recenter slab + one slab of
+    # early-trigger slack (so fresh top slots sit >= 128 rows above the
+    # band top and the chars cascade warms them long before activation)
     if ns_rows is None:
-        ns_rows = -(-(EBB + 2 + 2 * RECENTER + 4) // RECENTER)
+        ns_rows = -(-(EBB + 2 + 3 * RECENTER + 4) // RECENTER)
     NS = ns_rows * RECENTER
 
     # u64 views of the prepared shifted-frame planes, padded above K
@@ -338,7 +340,11 @@ def run_sysband_pair(batch: BandedBatch, j: int, ns_rows: int | None = None,
                         and ((cl1 + (W * (lsT - 1) - finish_v)) > cutoff)
                     clamp = (nbT - prolog + lsT) >= nbr
                     sw = laT + 1 - base
-                    if 0 <= sw < NS:
+                    if sw >= NS:
+                        raise SysbandAbort(
+                            f"chunk {nbT}: band outran the resident "
+                            f"window (laT+1={laT + 1}, base={base})")
+                    if sw >= 0:
                         srow[sw] = c_last + W
                     new_ls = lsT - (1 if (cut_higher or clamp) else 0)
                     if new_ls == lsT:
@@ -363,9 +369,21 @@ def run_sysband_pair(batch: BandedBatch, j: int, ns_rows: int | None = None,
         laT_now = nbT + lsT
         nb_floor = min(nbB, nbT)
         f_floor = first_ring.get(nb_floor, fsB - abs(nbT - nbB))
-        if (laT_now + 1 - base >= NS - 1
+        # early trigger: recenter while the band top is still >= 128
+        # rows below the window top, so the fresh slots' chars warm via
+        # the cascade (<= 128 steps) long before the top edge reaches
+        # them (>= 128 chunks x 65 steps) — no per-lane text seed needed
+        if (laT_now + 1 - base >= NS - 1 - RECENTER
                 and base + RECENTER <= tf64
                 and nb_floor + f_floor > base + RECENTER - 1):
+            if laT_now + 1 - base > NS - 1 - RECENTER:
+                # the guards delayed past the early-trigger point: the
+                # fresh top slots would sit < 128 rows above the band
+                # top and the chars cascade could not warm them in time.
+                # Cannot happen with the default window sizing.
+                raise SysbandAbort(
+                    f"recenter delayed: band top within {RECENTER} rows "
+                    f"of the window top (laT={laT_now}, base={base})")
             flush_rows(base, base + RECENTER)
             for arr in (pv, mv, srow, chars, pho, mho, phase, col,
                         act_bot, act_top, isf):
@@ -387,13 +405,11 @@ def run_sysband_pair(batch: BandedBatch, j: int, ns_rows: int | None = None,
                 u_new < 0, u_new,
                 W * (u_new // CY) + u_new % CY)
             col[-RECENTER:] = col_new
-            # the band top can sit right at the new-row boundary, so the
-            # upward chars cascade (1 slot/step from the entry slot)
-            # cannot warm these rows before they activate — seed by
-            # formula
-            chars[-RECENTER:] = np.where(
-                (col_new >= 0) & (col_new < NB * W),
-                text[np.clip(col_new, 0, NB * W - 1)], 0)
+            # chars need no seed: the upward cascade carries correct
+            # values from the slot below within 128 steps, and the
+            # early trigger guarantees >= 128 chunks before these rows
+            # activate
+            chars[-RECENTER:] = 0
             act_bot[-RECENTER:] = True    # far above the bottom edge
             act_top[-RECENTER:] = False   # top edge has not reached them
             isf[-RECENTER:] = False

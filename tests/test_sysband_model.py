@@ -67,11 +67,11 @@ def test_sysband_bucket_padded():
 
 
 def test_sysband_recenter_small_window():
-    # a forced-small resident window triggers recenters (base > 0) while
-    # the multi-chunk skew is in flight
-    p, t = _pair(20000, 11)
+    # a long run with the default window triggers recenters (base > 0)
+    # while the multi-chunk skew is in flight
+    p, t = _pair(25000, 11)
     batch = prepare_banded_batch([p], [t], [4500], full=False)
-    out = run_sysband_pair(batch, 0, ns_rows=2)
+    out = run_sysband_pair(batch, 0)
     assert out["base"] > 0, "test meant to exercise recentering"
     _assert_parity(batch, out)
 
@@ -82,6 +82,6 @@ def test_sysband_deep_spread():
     # top (max_spread > 1) with recenters
     p, t = _pair(25000, 12)
     batch = prepare_banded_batch([p], [t], [10000], full=False)
-    out = run_sysband_pair(batch, 0, ns_rows=3)
+    out = run_sysband_pair(batch, 0)
     assert out["max_spread"] > 1 and out["base"] > 0
     _assert_parity(batch, out)
