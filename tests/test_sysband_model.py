@@ -80,7 +80,9 @@ def test_sysband_recenter_small_window():
 def test_sysband_deep_spread():
     # EBB > 130: the bottom machine runs multiple chunks ahead of the
     # top (max_spread > 1) with recenters
-    p, t = _pair(25000, 12)
+    # pattern long relative to the band so the top edge clears the
+    # early-recenter threshold before the endgame clamp pins it
+    p, t = _pair(50000, 31)
     batch = prepare_banded_batch([p], [t], [10000], full=False)
     out = run_sysband_pair(batch, 0)
     assert out["max_spread"] > 1 and out["base"] > 0
