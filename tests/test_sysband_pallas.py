@@ -1,0 +1,66 @@
+"""Systolic deep-band Pallas kernel parity (interpret mode).
+
+Small-geometry parity of ops/banded_sysband_pallas.py against
+banded_jax.run_banded — the same contract as the step model
+(scores/first/last exact everywhere; pv/mv exact on [first, last]).
+The compiled-on-TPU parity is asserted by bench.py's parity gate and
+the staged on-chip scripts (PERFORMANCE.md methodology).
+"""
+
+import numpy as np
+import pytest
+
+from quicked_tpu import generate
+from quicked_tpu.ops.batch_prep import prepare_banded_batch
+from quicked_tpu.ops.banded_jax import run_banded
+from quicked_tpu.ops.banded_sysband_pallas import run_banded_sysband_pallas
+
+
+def _assert_parity(batch, out, n):
+    ref = run_banded(batch)
+    for j in range(n):
+        np.testing.assert_array_equal(out["scores_by_k"][:, j],
+                                      ref["scores_by_k"][:, j])
+        assert out["first"][j] == ref["first"][j]
+        assert out["last"][j] == ref["last"][j]
+        f, l = int(ref["first"][j]), int(ref["last"][j])
+        sl = slice(max(f, 0), min(l + 1, batch.EBB))
+        for k in ("pv_lo", "pv_hi", "mv_lo", "mv_hi"):
+            np.testing.assert_array_equal(out[k][sl, j], ref[k][sl, j])
+
+
+def _pair(length, seed, error=0.1):
+    return list(generate.generate_pairs(1, length, error=error,
+                                        seed=seed))[0]
+
+
+def test_sysband_pallas_basic():
+    p, t = _pair(2000, 5)
+    batch = prepare_banded_batch([p], [t], [300], full=False)
+    _assert_parity(batch, run_banded_sysband_pallas(batch,
+                                                    interpret=True), 1)
+
+
+def test_sysband_pallas_inverted_and_batch():
+    p, t = _pair(2000, 5)
+    p2, t2 = _pair(800, 7, error=0.2)
+    batch = prepare_banded_batch([p[:1500], p2], [t, t2], [400, 200],
+                                 full=False)
+    _assert_parity(batch, run_banded_sysband_pallas(batch,
+                                                    interpret=True), 2)
+
+
+def test_sysband_pallas_text_finish():
+    p, t = _pair(2000, 5)
+    batch = prepare_banded_batch([p], [t], [300], full=False,
+                                 text_finish=[999])
+    _assert_parity(batch, run_banded_sysband_pallas(batch,
+                                                    interpret=True), 1)
+
+
+@pytest.mark.slow
+def test_sysband_pallas_recenter():
+    p, t = _pair(25000, 11)
+    batch = prepare_banded_batch([p], [t], [4500], full=False)
+    _assert_parity(batch, run_banded_sysband_pallas(batch,
+                                                    interpret=True), 1)
