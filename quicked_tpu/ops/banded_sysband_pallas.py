@@ -92,8 +92,9 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
 
     def fetch_ent(tile8):
         """DMA text tiles [tile8, tile8+8) into the entry buffer."""
+        t8 = pl.multiple_of(8 * (tile8 // 8), 8)
         cp = pltpu.make_async_copy(
-            text_hbm.at[b, pl.ds(tile8, 8)], raw_ent, sems.at[2])
+            text_hbm.at[b, pl.ds(t8, 8)], raw_ent, sems.at[2])
         cp.start()
         cp.wait()
         ent_buf[:] = raw_ent[:]
