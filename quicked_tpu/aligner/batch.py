@@ -83,6 +83,13 @@ PALLAS_MAX_EBB = 128  # VMEM budget bound for the pairs-as-lanes kernel
 CSCAN_MIN_EBB = 48
 CSCAN_MAX_B = 32
 
+# Systolic deep-band kernel (banded_sysband_pallas): one advance per
+# cell vs the carry-scan's two-advances-plus-scan; preferred for deep
+# bands once proven on-chip. QUICKED_TPU_SYSBAND=0 opts out (falls back
+# to the carry-scan kernel); its resident-window init bounds EBB.
+SYSBAND_MIN_EBB = 192
+SYSBAND_MAX_EBB = 3500
+
 
 _LINK_MBPS: list = []    # cached device->host readback bandwidth probe
 
@@ -208,6 +215,14 @@ def _run_banded_auto(batch):
                                                   CSCAN_ADV_PER_S)
                     if est_host < est_dev:
                         return _run_host(batch)
+                # default-off until the compiled kernel's on-chip parity
+                # is proven (flip the default with the measured numbers)
+                if SYSBAND_MIN_EBB <= batch.EBB <= SYSBAND_MAX_EBB and \
+                        os.environ.get("QUICKED_TPU_SYSBAND", "0") == "1":
+                    from quicked_tpu.ops.banded_sysband_pallas import (
+                        run_banded_sysband_pallas,
+                    )
+                    return run_banded_sysband_pallas(batch)
                 from quicked_tpu.ops.banded_cscan_pallas import (
                     run_banded_cscan_pallas,
                 )
