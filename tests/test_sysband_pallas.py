@@ -64,3 +64,32 @@ def test_sysband_pallas_recenter():
     batch = prepare_banded_batch([p], [t], [4500], full=False)
     _assert_parity(batch, run_banded_sysband_pallas(batch,
                                                     interpret=True), 1)
+
+
+@pytest.mark.slow
+def test_sysband_pallas_random_soak():
+    # Randomized geometry soak (independent random sequences, not an
+    # error-model pair, so band/length ratios and unreachable-finish
+    # cases are exercised): each trial must match run_banded exactly,
+    # including the ~unaligned-pair regime where the band saturates.
+    rng = np.random.default_rng(9)
+
+    def rand_seq(n):
+        return "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+
+    for trial in range(12):
+        plen = int(rng.integers(30, 1500))
+        tlen = int(rng.integers(30, 1500))
+        cut = int(rng.integers(64, max(96, int(0.4 * max(plen, tlen)))))
+        tfin = int(rng.integers(1, tlen + 1)) if rng.random() < 0.3 \
+            else None
+        batch = prepare_banded_batch(
+            [rand_seq(plen)], [rand_seq(tlen)], [cut], full=False,
+            text_finish=[tfin] if tfin else None)
+        out = run_banded_sysband_pallas(batch, interpret=True)
+        try:
+            _assert_parity(batch, out, 1)
+        except AssertionError as e:
+            raise AssertionError(
+                f"trial {trial}: plen={plen} tlen={tlen} cut={cut} "
+                f"tfin={tfin}") from e
