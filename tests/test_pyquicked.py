@@ -30,15 +30,19 @@ def test_surface():
     assert issubclass(pyquicked.QuickedException, Exception)
 
 
-def test_reference_example_runs_unmodified():
-    if not os.path.exists(REF_EXAMPLE):
-        pytest.skip("reference example unavailable")
+@pytest.mark.parametrize("example", [
+    REF_EXAMPLE,
+    os.path.join(REPO, "examples", "bindings", "basic.py"),
+], ids=["reference-verbatim", "repo"])
+def test_binding_example_runs(example):
+    if not os.path.exists(example):
+        pytest.skip("example unavailable")
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                PYTHONPATH=REPO,
                JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache"),
                JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
     runner = os.path.join(REPO, "tests", "_run_example.py")
-    r = subprocess.run([sys.executable, runner, REF_EXAMPLE],
+    r = subprocess.run([sys.executable, runner, example],
                        capture_output=True, text=True, timeout=300,
                        env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
