@@ -63,6 +63,22 @@ U64 = np.uint64
 ONES64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def resident_rows(ebb: int) -> int:
+    """Resident-window depth in RECENTER-lane rows: EBB+2 band rows +
+    the recenter slab + early-trigger slack (fresh top slots must sit
+    >= RECENTER rows above the band top so the chars cascade warms them
+    before activation). The kernel's window sizing MUST match the
+    model's — the recenter-delayed abort depends on this slack."""
+    return -(-(ebb + 2 + 3 * RECENTER + 4) // RECENTER)
+
+
+def total_steps(nb: int, ns: int) -> int:
+    """Step count covering the last event E2(NB-1) at ~la + CY*(NB-1)
+    + 63 with la up to NB + EBB: the skew adds ~NB + NS on top of the
+    CY*NB columns, plus drain slack."""
+    return CY * nb + nb + ns + 2 * CY
+
+
 def advance64(eq, lm, pv, mv, phin, mhin):
     """BPM_ADVANCE_BLOCK (bpm_commons.h:49-68) on whole u64 words,
     vectorized over slots. phin/mhin are u64 0/1 carries."""
@@ -128,7 +144,7 @@ def run_sysband_pair(batch: BandedBatch, j: int, ns_rows: int | None = None,
     # early-trigger slack (so fresh top slots sit >= 128 rows above the
     # band top and the chars cascade warms them long before activation)
     if ns_rows is None:
-        ns_rows = -(-(EBB + 2 + 3 * RECENTER + 4) // RECENTER)
+        ns_rows = resident_rows(EBB)
     NS = ns_rows * RECENTER
 
     # u64 views of the prepared shifted-frame planes, padded above K
@@ -200,9 +216,7 @@ def run_sysband_pair(batch: BandedBatch, j: int, ns_rows: int | None = None,
         if hi_row > lo_row:
             dropped_out[lo_row:hi_row] = srow[lo_row - base:hi_row - base]
 
-    # last event is E2(NB-1) at ~la + CY*(NB-1) + 63 with la up to
-    # NB + EBB: the skew adds ~NB + EBB on top of the CY*NB columns
-    T_end = CY * NB + NB + NS + 2 * CY
+    T_end = total_steps(NB, NS)
 
     for t in range(T_end):
         # ---- apply pending mask edits scheduled for this step ----
@@ -368,7 +382,10 @@ def run_sysband_pair(batch: BandedBatch, j: int, ns_rows: int | None = None,
         # ---- recenter ----
         laT_now = nbT + lsT
         nb_floor = min(nbB, nbT)
-        f_floor = first_ring.get(nb_floor, fsB - abs(nbT - nbB))
+        # nb_floor <= nbB always, and the bottom machine has written
+        # first_ring[nb] for every nb <= nbB — direct indexing asserts
+        # the invariant (the kernel mirrors this: fring[nb_floor % RING])
+        f_floor = first_ring[nb_floor]
         # early trigger: recenter while the band top is still >= 128
         # rows below the window top, so the fresh slots' chars warm via
         # the cascade (<= 128 steps) long before the top edge reaches
@@ -448,11 +465,14 @@ def run_banded_sysband_np(batch: BandedBatch):
     B = batch.B
     K = batch.K
     n = len(batch.enc_patterns) if batch.enc_patterns is not None else B
-    scores = np.zeros((K + 1, B), dtype=np.int64)
+    # padded lanes (j >= n) follow the run_banded / banded_native
+    # convention: the init formula (k - prolog + 1)*64 and first0/last0
+    k_idx = np.arange(K + 1, dtype=np.int64)[:, None]
+    scores = (k_idx - batch.prolog[None, :].astype(np.int64) + 1) * W
     pv64 = np.full((batch.EBB, B), ONES64, dtype=U64)
     mv64 = np.zeros((batch.EBB, B), dtype=U64)
-    first = np.zeros(B, dtype=np.int32)
-    last = np.zeros(B, dtype=np.int32)
+    first = batch.first0.astype(np.int32).copy()
+    last = batch.last0.astype(np.int32).copy()
     for j in range(n):
         out = run_sysband_pair(batch, j)
         scores[:, j] = out["scores_by_k"]

@@ -67,7 +67,7 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
             scores_out, pv_lo_out, pv_hi_out, mv_lo_out, mv_hi_out,
             first_out, last_out, base_out, abort_out,         # out
             pv_lo, pv_hi, mv_lo, mv_hi, srow, chars, pho, mho,
-            phase, col, uclk, act_bot, act_top, isf,
+            phase, col, act_bot, act_top, isf,
             slab_lo, slab_hi, ent_buf,
             raw_peq_lo, raw_peq_hi, raw_ent,
             sc, fring, lring, sems,
@@ -126,7 +126,6 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
         r65 = k0 - CY * q65
         phase[:] = jnp.where(r65 == 0, 0, CY - r65)
         col[:] = -k0
-        uclk[:] = -k0
         act_bot[:] = (k0 >= first0).astype(U32)
         act_top[:] = (k0 <= last0).astype(U32)
         isf[:] = (k0 == first0).astype(U32)
@@ -373,15 +372,16 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
         ph_now = phase[:]
         col[:] = col_now + ((ph_now != W) | (col_now < 0)).astype(I32)
         phase[:] = jnp.where(ph_now == W, 0, ph_now + 1)
-        uclk[:] = uclk[:] + 1
 
         # ---- recenter ----
         nbT_ = sc[S_NBT]
         lsT_ = sc[S_LST]
         nbB_ = sc[S_NBB]
         nb_floor = jnp.minimum(nbB_, nbT_)
-        f_floor = jnp.where(nbT_ <= nbB_, fring[nb_floor % RING],
-                            sc[S_FSB] - (nbT_ - nbB_))
+        # nb_floor <= nbB always and fring[nb] is live for every nb in
+        # (nb_floor - RING, nbB] (spread < RING) — mirror the model's
+        # first_ring[nb_floor] exactly
+        f_floor = fring[nb_floor % RING]
         laT1 = nbT_ + lsT_ + 1
         trig = (laT1 - base_now >= NS - 1 - LN) & \
             (base_now + LN <= tf64) & \
@@ -400,10 +400,10 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
             scores_out[0] = jnp.where(drow == dr, bot, scores_out[0])
             new_base = base_now + LN
             k_new = new_base + (R - 1) * LN + _lane_idx((1, LN))
-            # clocks of the fresh top row derive from the current top
-            # row (their absolute rows differ by exactly 128, i.e. 128
-            # local steps) — no vector idiv needed:
-            #   u_new     = u_top - 128
+            # clocks of the fresh top row: the local clock is
+            # u_new = t + 1 - k_new directly (the model's seed), and
+            # phase/col derive from the current top row (absolute rows
+            # differ by exactly 128 local steps) — no vector idiv:
             #   phase_new = (phase_top - 128) mod 65 = (phase_top+2)%65
             #   col_new = col_top - 128 + bb with col(u) = u - u//65 and
             #   bb = count of multiples of 65 in (u_new, u_top] = 1 iff
@@ -413,10 +413,9 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
                     jnp.where(_row_idx((R, LN)) == R - 1, ref[:], 0),
                     axis=0, keepdims=True)
 
-            u_top = top_row(uclk)
             ph_top = top_row(phase)
             col_top = top_row(col)
-            u_new = u_top - LN
+            u_new = t + 1 - k_new
             ph_new = ph_top + 2
             ph_new = jnp.where(ph_new >= CY, ph_new - CY, ph_new)
             bb = jnp.where((ph_top == 63) | (ph_top == W), 1, 2)
@@ -436,7 +435,6 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
             shift_plane(mho, jnp.zeros((1, LN), U32))
             shift_plane(phase, ph_new)
             shift_plane(col, col_new)
-            shift_plane(uclk, u_new)
             shift_plane(act_bot, jnp.ones((1, LN), U32))
             shift_plane(act_top, jnp.zeros((1, LN), U32))
             shift_plane(isf, jnp.zeros((1, LN), U32))
@@ -528,7 +526,6 @@ def _pallas_sysband(peq_lo, peq_hi, text_t, cutoff, prolog, nbr,
             pltpu.VMEM((R, LN), jnp.uint32),    # mho
             pltpu.VMEM((R, LN), jnp.int32),     # phase
             pltpu.VMEM((R, LN), jnp.int32),     # col
-            pltpu.VMEM((R, LN), jnp.int32),     # uclk
             pltpu.VMEM((R, LN), jnp.uint32),    # act_bot
             pltpu.VMEM((R, LN), jnp.uint32),    # act_top
             pltpu.VMEM((R, LN), jnp.uint32),    # isf
@@ -550,8 +547,10 @@ def _pallas_sysband(peq_lo, peq_hi, text_t, cutoff, prolog, nbr,
 def stage_sysband_batch(batch: BandedBatch):
     """Host prep: PEQ+level-mask tiles (lm at alphabet slot 5), text
     tiles, per-pair scalars, and the static geometry."""
+    from quicked_tpu.ops.banded_sysband_np import resident_rows, total_steps
+
     B, EBB, NB, K = batch.B, batch.EBB, batch.NB, batch.K
-    R = -(-(EBB + 2 + 3 * LN + 4) // LN)
+    R = resident_rows(EBB)
     NS = R * LN
     # the init-phase multiply-shift (k*2017)>>17 is exact for k < 3971
     assert NS <= 3968, f"sysband resident window too deep (NS={NS})"
@@ -559,7 +558,7 @@ def stage_sysband_batch(batch: BandedBatch):
     DR = -(-(K + 1) // LN) + R + 1
     TT = max(-(-(NB * W) // LN) // 8 * 8 + 8, 8)
     RING = 1 << max(int(np.ceil(np.log2(NS // CY + 8))), 4)
-    T_end = CY * NB + NB + NS + 2 * CY
+    T_end = total_steps(NB, NS)
     SEG = 512
     NSEG = -(-T_end // SEG)
 
@@ -653,6 +652,10 @@ def run_banded_sysband_pallas(batch: BandedBatch,
         args["first0"], args["last0"], interpret=interpret, **statics)
     res, aborted = collect_sysband(out, batch, statics)
     if aborted.any():
+        # Whole-batch fallback: aborts are rare (no generator input
+        # found triggers one) and this regime's batches are small
+        # (CSCAN_MAX_B lanes), so a lane-sliced sub-batch isn't worth
+        # the staging complexity.
         from quicked_tpu.ops.banded_cscan_pallas import (
             run_banded_cscan_pallas,
         )
