@@ -207,9 +207,8 @@ def _run_banded_auto(batch):
                     run_banded_native as _run_host,
                 )
                 if _host_ok() and batch.enc_patterns is not None:
-                    import os as _os
                     adv = _deep_band_advances(batch)
-                    cores = max(_os.cpu_count() or 1, 1)
+                    cores = max(os.cpu_count() or 1, 1)
                     est_host = adv / (HOST_ADV_PER_S_PER_CORE * cores)
                     est_dev = _score_device_est_s(batch, adv,
                                                   CSCAN_ADV_PER_S)
@@ -335,7 +334,12 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             chunk = len(idxs)
         else:
             per_lane = nb_p2 * W * ebb_p2 * 16
-            chunk = max(FULL_FILL_BYTES_BUDGET // max(per_lane, 1), 1)
+            # the kernel allocates the PADDED lane count (pow2, floored
+            # at min_lanes below) — chunk on a pow2 so the padding
+            # cannot blow the budget it exists to enforce
+            lanes_budget = max(FULL_FILL_BYTES_BUDGET // max(per_lane, 1),
+                               1)
+            chunk = 1 << (lanes_budget.bit_length() - 1)
         for s in range(0, len(idxs), chunk):
             sub = idxs[s:s + chunk]
             pats = [patterns[i] for i in sub]
@@ -398,11 +402,14 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
         text_finish = tlens
     results: list = [None] * n
 
-    # bucket on (pow2 processed-blocks, pow2 score-band width)
+    # bucket on (pow2 processed-blocks, pow2 score-band width); keep
+    # each pair's geometry so the result loop doesn't recompute it
     by_key: dict = {}
+    geos: list = [None] * n
     for i in range(n):
-        geo = myers_np.band_geometry(plens[i], tlens[i], int(cutoffs[i]))
-        ebb = myers_np.div_ceil(geo.cutoff, W) + 1
+        geos[i] = myers_np.band_geometry(plens[i], tlens[i],
+                                         int(cutoffs[i]))
+        ebb = myers_np.div_ceil(geos[i].cutoff, W) + 1
         nb = max(myers_np.div_ceil(int(text_finish[i]), W), 1)
         by_key.setdefault((_next_pow2(nb), _next_pow2(ebb)), []).append(i)
 
@@ -427,12 +434,11 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
              | (out["mv_hi"].astype(np.uint64) << np.uint64(32))).T)
         sck = np.ascontiguousarray(np.asarray(out["scores_by_k"]).T)
         for j, i in enumerate(idxs):
-            geo = myers_np.band_geometry(plens[i], tlens[i], int(cutoffs[i]))
             results[i] = BandedScoreState(
                 score=int(final_scores[j]), pv64=pv64[j], mv64=mv64[j],
                 first=int(out["first"][j]), last=int(out["last"][j]),
                 scores_k=sck[j], prolog=int(batch.prolog[j]),
-                geometry=geo)
+                geometry=geos[i])
     return results
 
 

@@ -319,8 +319,7 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,     # ANY (HBM)
         jax.lax.fori_loop(0, W, col_body, 0)
 
     # ---- band maintenance (banded_jax._maintenance, flat layout) ----
-    if "maint" in SKIP:      # debug bisection
-        first_n, last_n = first, last
+    # ("maint" in SKIP freezes first/last via the do_shift mask below)
     srows = scw[:R]
 
     def cap(at):
@@ -466,12 +465,6 @@ def stage_cscan_batch(batch: BandedBatch):
     R = max(-(-EBB // LN), 1)
     # KT covers the last aligned fetch: rows nbq8 .. nbq8 + _raw_rows(R)
     KT = (NB - 1) // LN + _raw_rows(R)
-
-    def tile_rows(a, fill):
-        # (K, ..., B) -> (B, ..., KT, 128)
-        a = np.moveaxis(a, 0, -1)          # (..., B, K)
-        a = np.moveaxis(a, -1, 0)          # (K, ..., B) -> keep simple
-        return a
 
     # peq: (K, 5, B) -> (B, ALPH, KT*128) padded
     def prep_peq(p, fill):

@@ -33,8 +33,13 @@ def maybe_initialize_distributed() -> tuple[int, int]:
             os.environ.get("JAX_NUM_PROCESSES"):
         try:
             jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # Only an already-initialized runtime is benign; swallowing
+            # e.g. an unreachable coordinator would silently degrade
+            # every process to a full single-process run over the same
+            # shard file.
+            if "already initialized" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 
@@ -43,7 +48,8 @@ def distributed_align(input_path: str, output_path: str,
                       batch_size: int = 10000,
                       process_index: int | None = None,
                       process_count: int | None = None,
-                      sharding: str = "interleaved") -> int:
+                      sharding: str = "interleaved",
+                      barrier_timeout_s: float = 3600.0) -> int:
     """Align a .seq stream across processes; ordered TSV merge on the
     coordinator. Returns pairs processed by this process.
 
@@ -68,13 +74,27 @@ def distributed_align(input_path: str, output_path: str,
     if sharding not in ("interleaved", "range", "stride"):
         raise ValueError(f"unknown sharding mode {sharding!r}")
 
+    # Stale-run hygiene without a startup ordering requirement: every
+    # process derives the same nonce from the run's identity (input
+    # bytes identity + the config that shapes the output), .done
+    # markers echo it, and the barrier counts only matching markers. A
+    # leftover .done from a DIFFERENT run can't satisfy the barrier; a
+    # leftover that matches the nonce implies a completed shard of a
+    # byte-identical run (alignment is deterministic), which is safe
+    # to merge.
+    nonce = _run_nonce(input_path, params, process_count, sharding)
     shard_path = f"{output_path}.shard{process_index:05d}"
-    # stale-run hygiene: a leftover .done (e.g. from a previous run with
-    # a different process_count) would satisfy the merge barrier early
     if os.path.exists(shard_path + ".done"):
         os.remove(shard_path + ".done")
     if process_index == 0:
-        # the coordinator also clears shards beyond this run's count so
+        for stale in glob.glob(f"{output_path}.shard*.done"):
+            idx = stale[len(output_path) + len(".shard"):].split(".")[0]
+            wider = idx.isdigit() and int(idx) >= process_count
+            if wider or _read_marker(stale) != nonce:
+                os.remove(stale)
+                if wider and os.path.exists(stale[:-len(".done")]):
+                    os.remove(stale[:-len(".done")])
+        # clear shards beyond this run's count even without markers so
         # the merge can't pick up a wider previous run's leftovers
         for stale in glob.glob(f"{output_path}.shard*"):
             idx = stale[len(output_path) + len(".shard"):].split(".")[0]
@@ -89,10 +109,11 @@ def distributed_align(input_path: str, output_path: str,
             for k in range(len(res.status)):
                 key = f"{ids[k]}\t" if keyed else ""
                 if int(res.status[k]) < 0:
-                    out.write(f"{key}ERROR\tERROR\n")
+                    row = seqio.format_output_error(params.only_score)
                 else:
-                    cig = res.cigar[k] if res.cigar[k] is not None else "-"
-                    out.write(f"{key}{res.score[k]}\t{cig}\n")
+                    row = seqio.format_output_lite(res.score[k],
+                                                   res.cigar[k])
+                out.write(f"{key}{row}\n")
             n_local += len(ids)
 
         if sharding == "interleaved":
@@ -131,10 +152,12 @@ def distributed_align(input_path: str, output_path: str,
             if batch:
                 emit(align_batch_full(batch, params), batch_ids)
 
-    # completion marker for the shard-file barrier
-    open(shard_path + ".done", "w").close()
+    # completion marker for the shard-file barrier, echoing the nonce
+    with open(shard_path + ".done", "w") as f:
+        f.write(nonce)
     if process_index == 0:
-        _wait_for_shards(output_path, process_count)
+        _wait_for_shards(output_path, process_count, nonce,
+                         timeout_s=barrier_timeout_s)
         if sharding == "interleaved":
             _merge_chunk_runs(output_path, process_count,
                               _n_chunks(os.path.getsize(input_path)))
@@ -183,23 +206,50 @@ def _merge_chunk_runs(output_path: str, process_count: int,
             os.remove(p + ".done")
 
 
-def _wait_for_shards(output_path: str, process_count: int,
+def _run_nonce(input_path: str, params, process_count: int,
+               sharding: str) -> str:
+    """Deterministic run identity every process derives locally: the
+    input file's identity plus every config knob that shapes the output
+    bytes (params, process_count, sharding mode, chunking). Two runs
+    with the same nonce produce byte-identical shards."""
+    import hashlib
+
+    st = os.stat(input_path)
+    key = "\x1f".join([
+        os.path.realpath(input_path), str(st.st_size),
+        str(st.st_mtime_ns), str(process_count), sharding,
+        str(CHUNK_BYTES), repr(params)])
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _read_marker(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def _wait_for_shards(output_path: str, process_count: int, nonce: str,
                      timeout_s: float = 3600.0) -> None:
     """File-based barrier on the shared filesystem: the coordinator
-    merges only after every process has marked its shard complete."""
+    merges only after every process has marked its shard complete WITH
+    this run's nonce (a stale .done from a crashed run cannot count)."""
     import time
 
     expected = [f"{output_path}.shard{i:05d}.done"
                 for i in range(process_count)]
+
+    def _n_done():
+        return sum(_read_marker(p) == nonce for p in expected)
+
     deadline = time.time() + timeout_s
     while time.time() < deadline:
-        n_done = sum(os.path.exists(p) for p in expected)
-        if n_done >= process_count:
+        if _n_done() >= process_count:
             return
         time.sleep(0.5)
-    n_done = sum(os.path.exists(p) for p in expected)
     raise TimeoutError(
-        f"distributed merge: only {n_done}"
+        f"distributed merge: only {_n_done()}"
         f"/{process_count} shards completed within {timeout_s}s")
 
 

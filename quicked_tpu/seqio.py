@@ -129,6 +129,12 @@ def format_output_lite(score, cigar: str | None) -> str:
     return f"{score}\t{cigar if cigar is not None else '-'}"
 
 
+def format_output_error(only_score: bool) -> str:
+    """Failed-pair row: `ERROR\\t-` when score-only, `ERROR\\tERROR`
+    otherwise (quicked_print_output_error, benchmark_utils.c:171-188)."""
+    return "ERROR\t-" if only_score else "ERROR\tERROR"
+
+
 def format_output_full(pattern: str, text: str, score, cigar: str | None) -> str:
     """6-column output (benchmark_utils.c:159-165)."""
     c = cigar if cigar is not None else "-"
