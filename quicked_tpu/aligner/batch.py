@@ -11,6 +11,7 @@ per-pair driver loop (quicked.c:405-437) + OpenMP batch loop
 from __future__ import annotations
 
 import dataclasses
+import threading
 
 import numpy as np
 
@@ -93,6 +94,13 @@ SYSBAND_MAX_EBB = 3500
 
 _LINK_MBPS: list = []    # cached device->host readback bandwidth probe
 
+# One probe at a time: the Hirschberg driver runs forward/reverse half
+# passes on concurrent threads, and two simultaneous probes would time
+# each other's transfers (halving the measured bandwidth, inflating the
+# dispatch latency) and cache the contended numbers for the process
+# lifetime.
+_PROBE_LOCK = threading.Lock()
+
 # Below this device->host bandwidth the full-fill band-plane readback
 # dominates any device fill speedup, so full (traceback) fills stay on
 # the host C kernel. A 30 kbp base case reads back ~13 MB of planes the
@@ -105,18 +113,19 @@ FULL_DEVICE_MIN_MBPS = 250.0
 
 def _device_readback_mbps() -> float:
     """One-time probe of device->host transfer bandwidth (MB/s)."""
-    if not _LINK_MBPS:
-        import time
+    with _PROBE_LOCK:
+        if not _LINK_MBPS:
+            import time
 
-        import jax
-        import jax.numpy as jnp
+            import jax
+            import jax.numpy as jnp
 
-        buf = jax.device_put(jnp.zeros((8, 1024, 1024), jnp.uint8))
-        buf.block_until_ready()
-        t0 = time.perf_counter()
-        np.asarray(buf)
-        dt = max(time.perf_counter() - t0, 1e-9)
-        _LINK_MBPS.append(8.0 / dt)
+            buf = jax.device_put(jnp.zeros((8, 1024, 1024), jnp.uint8))
+            buf.block_until_ready()
+            t0 = time.perf_counter()
+            np.asarray(buf)
+            dt = max(time.perf_counter() - t0, 1e-9)
+            _LINK_MBPS.append(8.0 / dt)
     return _LINK_MBPS[0]
 
 
@@ -141,18 +150,19 @@ def _device_dispatch_s() -> float:
     """One-time probe of per-call device dispatch latency (seconds).
     Times the second call of a trivial jitted op so compile time is
     excluded; materializes the output (async dispatch under-reports)."""
-    if not _DISPATCH_S:
-        import time
+    with _PROBE_LOCK:
+        if not _DISPATCH_S:
+            import time
 
-        import jax
-        import jax.numpy as jnp
+            import jax
+            import jax.numpy as jnp
 
-        f = jax.jit(lambda a: a * 2)
-        x = jnp.arange(256)
-        np.asarray(f(x))
-        t0 = time.perf_counter()
-        np.asarray(f(x))
-        _DISPATCH_S.append(max(time.perf_counter() - t0, 1e-6))
+            f = jax.jit(lambda a: a * 2)
+            x = jnp.arange(256)
+            np.asarray(f(x))
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            _DISPATCH_S.append(max(time.perf_counter() - t0, 1e-6))
     return _DISPATCH_S[0]
 
 

@@ -40,6 +40,15 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def _raw(s, enc) -> bytes:
+    """Raw byte view for the C kernels: the original ascii chars, or
+    the encoded array itself when the caller passed pre-encoded input
+    (enc equality is then the M-vs-X contract)."""
+    if isinstance(s, np.ndarray):
+        return np.asarray(enc, dtype=np.uint8).tobytes()
+    return s.encode("ascii", "replace")
+
+
 # Above this length, the windowed walk has enough sequential window
 # steps (~len/64 while-iterations of narrow ops) that an accelerator's
 # per-iteration overhead dominates — run those buckets on the host CPU
@@ -70,17 +79,12 @@ def _windowed_native_batch(patterns, texts, hew_threshold, window_size,
     scores = np.zeros(n, dtype=np.int64)
     hews = np.zeros(n, dtype=np.int64)
 
-    def raw(s, enc):
-        if isinstance(s, np.ndarray):
-            return np.asarray(enc, dtype=np.uint8).tobytes()
-        return s.encode("ascii", "replace")
-
     def one(i):
         p, t = patterns[i], texts[i]
         pe = p if isinstance(p, np.ndarray) else dna.encode(p)
         te = t if isinstance(t, np.ndarray) else dna.encode(t)
         scores[i], hews[i] = native.windowed_score(
-            pe, raw(p, pe), te, raw(t, te), window_size, overlap_size,
+            pe, _raw(p, pe), te, _raw(t, te), window_size, overlap_size,
             hew_threshold)
 
     map_lanes(one, n)
@@ -144,16 +148,11 @@ def windowed_full_batch(patterns, texts, window_size: int,
     n = len(patterns)
     if window_size <= 16 and native.available() and \
             jax.devices()[0].platform == "cpu":
-        def raw(s, enc):
-            if isinstance(s, np.ndarray):
-                return np.asarray(enc, dtype=np.uint8).tobytes()
-            return s.encode("ascii", "replace")
-
         out = []
         for p, t in zip(patterns, texts):
             pe = p if isinstance(p, np.ndarray) else dna.encode(p)
             te = t if isinstance(t, np.ndarray) else dna.encode(t)
-            out.append(native.windowed_full(pe, raw(p, pe), te, raw(t, te),
+            out.append(native.windowed_full(pe, _raw(p, pe), te, _raw(t, te),
                                             window_size, overlap_size))
         return out
     out = [None] * n
@@ -281,6 +280,9 @@ def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
         else:
             deferred.append((i, int(sc[j])))
     if deferred:
+        # stage-4 work: book it under the align timer like the staged
+        # lane does, so per-stage instrumentation stays comparable
+        timers.align.start()
         res = hirschberg_batch([pairs[i][1] for i, _ in deferred],
                                [pairs[i][0] for i, _ in deferred],
                                [b for _, b in deferred])
@@ -290,6 +292,7 @@ def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
             c = Cigar(operations=h_ops or "")
             scores[i] = c.score_edit()
             cigars[i] = c.sprint(True) if h_ops else None
+        timers.align.stop()
     timers.total.stop()
 
     if slow:
@@ -358,7 +361,9 @@ def _cascade_staged(pairs, params: QuickedParams, timers) -> CascadeResult:
                     new_score = int(ns[j])
                     if (new_score > max_len[i] // 4
                             and cut[i] * 3 // 2 < new_score) or new_score < 0:
-                        cut[i] *= 2
+                        # floor at 1: a zero cut (tiny max_len * small
+                        # bandwidth) would double to zero forever
+                        cut[i] = max(cut[i] * 2, 1)
                         nxt.append(i)
                     else:
                         score[i] = new_score

@@ -232,6 +232,7 @@ int64_t qh_cigar_sam(const char *ops, int64_t n, uint32_t *out) {
 #include <stdlib.h>
 
 #define QH_W 64
+#define QH_WS_MAX 16   /* fixed window-buffer depth of the WindowEd kernels */
 
 static inline int64_t qh_div_ceil(int64_t a, int64_t b) {
     return (a + b - 1) / b;
@@ -525,6 +526,7 @@ static int64_t qh_banded_score_n(
     /* PEQ over the 5-letter alphabet, tail padded to ones */
     int64_t nw = plen > 0 ? qh_div_ceil(plen, QH_W) : 1;
     uint64_t *peq = (uint64_t *)calloc((size_t)(nw * 5), sizeof(uint64_t));
+    if (!peq) return -1;
     for (int64_t i = 0; i < plen; i++)
         peq[(i / QH_W) * 5 + pattern_enc[i]] |= 1ULL << (i % QH_W);
     for (int64_t i = plen; i < nw * QH_W; i++)
@@ -547,6 +549,10 @@ static int64_t qh_banded_score_n(
                                : (plen > 0 ? (plen - 1) / QH_W : 0);
     if (n_rows < fb + prolog + 1) n_rows = fb + prolog + 1;
     int64_t *sc = (int64_t *)malloc((size_t)n_rows * sizeof(int64_t));
+    if (!Pv || !Mv || !sc) {
+        free(peq); free(Pv); free(Mv); free(sc);
+        return -1;
+    }
     for (int64_t r = 0; r < n_rows; r++)
         sc[r] = (r - prolog + 1) * QH_W;   /* init: (row+1)*64 */
 
@@ -894,19 +900,25 @@ int64_t qh_windowed_score(
     int64_t window_size, int64_t overlap_size, int64_t hew_threshold,
     int64_t *hew_out) {
     const int64_t ws = window_size, ovl = overlap_size;
+    /* the fixed window buffers below hold at most 16 blocks */
+    if (ws < 1 || ws > QH_WS_MAX || ovl < 0 || ovl >= ws) return -1;
     const int64_t cols = QH_W * ws;
     int64_t nw = plen > 0 ? qh_div_ceil(plen, QH_W) : 1;
     uint64_t *peq = (uint64_t *)calloc((size_t)(nw * 5), sizeof(uint64_t));
+
+    /* window matrices: (cols+1) columns x ws blocks */
+    uint64_t *PvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
+    uint64_t *MvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
+    if (!peq || !PvW || !MvW) {
+        free(peq); free(PvW); free(MvW);
+        return -1;
+    }
     for (int64_t i = 0; i < plen; i++)
         peq[(i / QH_W) * 5 + pattern_enc[i]] |= 1ULL << (i % QH_W);
     for (int64_t i = plen; i < nw * QH_W; i++)
         for (int c = 0; c < 5; c++)
             peq[(i / QH_W) * 5 + c] |= 1ULL << (i % QH_W);
-
-    /* window matrices: (cols+1) columns x ws blocks */
-    uint64_t *PvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
-    uint64_t *MvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
-    uint64_t peq_win[16][5];
+    uint64_t peq_win[QH_WS_MAX][5];
 
     int64_t pos_v = plen - 1, pos_h = tlen - 1;
     int64_t score = 0, hew = 0;
@@ -931,7 +943,7 @@ int64_t qh_windowed_score(
                                       : lo;
             }
 
-        uint64_t Pv[16], Mv[16];
+        uint64_t Pv[QH_WS_MAX], Mv[QH_WS_MAX];
         for (int64_t i = 0; i < ws; i++) {
             Pv[i] = (h_min == 0) ? ~0ULL : 0;
             Mv[i] = 0;
@@ -1012,18 +1024,22 @@ int64_t qh_windowed_full(
     const uint8_t *text_enc, const uint8_t *text_raw, int64_t tlen,
     int64_t window_size, int64_t overlap_size, char *ops_out) {
     const int64_t ws = window_size, ovl = overlap_size;
+    if (ws < 1 || ws > QH_WS_MAX || ovl < 0 || ovl >= ws) return -1;
     const int64_t cols = QH_W * ws;
     int64_t nw = plen > 0 ? qh_div_ceil(plen, QH_W) : 1;
     uint64_t *peq = (uint64_t *)calloc((size_t)(nw * 5), sizeof(uint64_t));
+    uint64_t *PvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
+    uint64_t *MvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
+    if (!peq || !PvW || !MvW) {
+        free(peq); free(PvW); free(MvW);
+        return -1;
+    }
     for (int64_t i = 0; i < plen; i++)
         peq[(i / QH_W) * 5 + pattern_enc[i]] |= 1ULL << (i % QH_W);
     for (int64_t i = plen; i < nw * QH_W; i++)
         for (int c = 0; c < 5; c++)
             peq[(i / QH_W) * 5 + c] |= 1ULL << (i % QH_W);
-
-    uint64_t *PvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
-    uint64_t *MvW = (uint64_t *)malloc((size_t)((cols + 1) * ws) * 8);
-    uint64_t peq_win[16][5];
+    uint64_t peq_win[QH_WS_MAX][5];
 
     int64_t pos_v = plen - 1, pos_h = tlen - 1;
     const int64_t cap = plen + tlen;
@@ -1047,7 +1063,7 @@ int64_t qh_windowed_full(
                                       : lo;
             }
 
-        uint64_t Pv[16], Mv[16];
+        uint64_t Pv[QH_WS_MAX], Mv[QH_WS_MAX];
         for (int64_t i = 0; i < ws; i++) {
             Pv[i] = (h_min == 0) ? ~0ULL : 0;
             Mv[i] = 0;
@@ -1263,8 +1279,17 @@ static void qh_quicked_one(
             int64_t ns = qh_banded_score_n(pe, plen, te, tlen, tlen, cut,
                                            NULL, NULL, NULL, NULL, NULL,
                                            NULL, intra);
+            int neg_retries = 0;
             while ((ns > max_len / 4 && cut * 3 / 2 < ns) || ns < 0) {
-                cut *= 2;
+                if (ns < 0 && ++neg_retries > 2) {
+                    /* persistent kernel failure (allocation): defer */
+                    free(pe); free(te);
+                    *status_out = 1;
+                    *score_out = score;
+                    return;
+                }
+                cut *= 2;              /* floor at 1: 0 doubles to 0 */
+                if (cut < 1) cut = 1;
                 ns = qh_banded_score_n(pe, plen, te, tlen, tlen, cut,
                                        NULL, NULL, NULL, NULL, NULL,
                                        NULL, intra);
@@ -1695,6 +1720,10 @@ int64_t qh_align(
     int64_t budget,
     int64_t *score_out, char *ops_out, int64_t *ops_n_out) {
     if (plen == 0 || tlen == 0) return -4;  /* QUICKED_EMPTY_SEQUENCE */
+    if ((algo == 0 || algo == 2) &&
+        (window_size < 1 || window_size > QH_WS_MAX ||
+         overlap_size < 0 || overlap_size >= window_size))
+        return -10;  /* QUICKED_UNIMPLEMENTED: fixed window depth */
     uint8_t *pe = (uint8_t *)malloc((size_t)plen);
     uint8_t *te = (uint8_t *)malloc((size_t)tlen);
     if (!pe || !te) { free(pe); free(te); return -1; }

@@ -49,3 +49,17 @@ def test_native_align_one_all_algos():
 def test_native_align_one_empty():
     st, _, _ = native.align_one(0, b"", b"ACGT")
     assert st == -4   # QUICKED_EMPTY_SEQUENCE
+
+
+def test_native_align_one_window_too_deep():
+    # the C WindowEd kernels hold at most 16 window blocks on the
+    # stack (QH_WS_MAX); window-consuming algos must error cleanly
+    # instead of overflowing (quicked_host.c qh_align guard)
+    for code in (0, 2):   # QUICKED, WINDOWED
+        st, _, _ = native.align_one(code, b"ACGT" * 50, b"ACGA" * 50,
+                                    window_size=17)
+        assert st == -10   # QUICKED_UNIMPLEMENTED
+    # non-window algos ignore the window params (reference parity)
+    st, sc, _ = native.align_one(1, b"ACGT" * 50, b"ACGA" * 50,
+                                 window_size=17, only_score=True)
+    assert st == 0 and sc >= 0
