@@ -453,11 +453,14 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
 
 
 def _finish(status, score, ops, only_score):
-    """extract_results semantics (quicked.c:34-56)."""
+    """extract_results semantics (quicked.c:34-56): only_score keeps
+    the cigar NULL for every algorithm."""
     if int(status) < 0:
         return status, -1, None
-    if only_score and ops is None:
-        return status, int(score), None
+    if only_score:
+        if ops is None:
+            return status, int(score), None
+        return status, Cigar(operations=ops).score_edit(), None
     cig = Cigar(operations=ops or "")
     return status, cig.score_edit(), (cig.sprint(True) if ops else None)
 
@@ -531,9 +534,10 @@ def align_batch_full(pairs, params: QuickedParams | None = None) -> BatchResult:
                 c = Cigar(operations=ops or "")
                 statuses[i] = st
                 scores[i] = c.score_edit()
-                cigars[i] = c.sprint(True) if ops else None
+                cigars[i] = (c.sprint(True)
+                             if ops and not params.only_score else None)
             else:
-                st2, s, c = _finish(st, None, ops, False)
+                st2, s, c = _finish(st, None, ops, params.only_score)
                 statuses[i], scores[i], cigars[i] = st2, s, c
         return BatchResult(statuses, scores, cigars)
 
@@ -543,7 +547,9 @@ def align_batch_full(pairs, params: QuickedParams | None = None) -> BatchResult:
         for j, i in enumerate(live):
             statuses[i] = res.status[j]
             scores[i] = res.score[j]
-            cigars[i] = res.cigar[j]
+            # extract_results: only_score keeps the cigar NULL
+            # (quicked.c:38-42); the score is already the edit score
+            cigars[i] = None if params.only_score else res.cigar[j]
         return BatchResult(statuses, scores, cigars)
 
     # Remaining algorithms: exact numpy semantic model per pair (replaced

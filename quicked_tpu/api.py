@@ -9,9 +9,6 @@ pairs; see SURVEY.md §7).
 
 from __future__ import annotations
 
-import numpy as np
-
-from quicked_tpu import dna
 from quicked_tpu.cigar import Cigar
 from quicked_tpu.params import (
     QuickedAlgo,
@@ -67,10 +64,13 @@ def _align_one_np(pattern: str, text: str, params: QuickedParams):
         cigar = Cigar(operations=ops or "")
         return status, cigar.score_edit(), (cigar.sprint(True) if ops
                                             else None)
-    # extract_results semantics (quicked.c:34-56): score from precomputed
-    # value when only_score, else from the CIGAR.
-    if params.only_score and ops is None:
-        return status, score, None
+    # extract_results semantics (quicked.c:34-56): only_score keeps the
+    # cigar NULL for EVERY algorithm (the score is the precomputed
+    # cigar->score, == the ops' edit score when ops were computed).
+    if params.only_score:
+        if ops is None:
+            return status, score, None
+        return status, Cigar(operations=ops).score_edit(), None
     cigar = Cigar(operations=ops or "")
     return status, cigar.score_edit(), cigar.sprint(True) if ops else None
 
@@ -126,11 +126,15 @@ class QuickedAligner:
 
     def align(self, pattern: str, text: str) -> QuickedStatus:
         status, score, cigar = align_pair(pattern, text, self.params)
+        # update results BEFORE raising: the reference binding runs
+        # extract_results before throwing (quicked.cpp:30-42), so a
+        # caller catching QuickedException reads the failed pair's
+        # partial score/CIGAR, not the previous pair's
         self.status = status
-        if check_error(status):
-            raise QuickedException(status)
         self.score = score
         self.cigar = cigar
+        if check_error(status):
+            raise QuickedException(status)
         return status
 
     def get_score(self) -> int:

@@ -110,9 +110,14 @@ class Cigar:
         """
         if not self.operations:
             return []
+        # The reference latches the FIRST op before the X->M mapping
+        # (cigar.c:210 last_op = operations[begin_offset]; the mapping
+        # runs from begin_offset+1), so a leading mismatch run keeps
+        # its own 'X' entry even with show_mismatches=False — reproduce
+        # that quirk bit-for-bit.
         ops = self.operations
         if not show_mismatches:
-            ops = ops.replace("X", "M")
+            ops = ops[0] + ops[1:].replace("X", "M")
         packed = []
         for count, op in Cigar(ops)._runs():
             if show_mismatches and op == "M":
@@ -241,6 +246,16 @@ class Cigar:
                 ops_alg.append(" ")
                 text_alg.append("-")
                 p += 1
+        # trailing residues the CIGAR never consumed (partial CIGARs,
+        # e.g. after non-convergence) are flagged with '?' markers
+        # (cigar.c:588-598; the reference writes both tails over the
+        # same columns)
+        pat_tail, txt_tail = pattern[p:], text[t:]
+        n_tail = max(len(pat_tail), len(txt_tail))
+        if n_tail:
+            pattern_alg += list(pat_tail) + [" "] * (n_tail - len(pat_tail))
+            ops_alg += ["?"] * n_tail
+            text_alg += list(txt_tail) + [" "] * (n_tail - len(txt_tail))
         lines = [
             f"      ALIGNMENT {self.sprint(True)}",
             f"      ETRACE    {self.sprint(False)}",

@@ -19,6 +19,11 @@ def _generate_errors(seq: list[str], num_errors: int, rng: random.Random):
     """sequence_generate_errors (generate_dataset.c:170-199)."""
     for _ in range(num_errors):
         etype = rng.randrange(3)
+        if not seq:
+            # deletions emptied the sequence; the reference hits
+            # rand%0 UB here — clamp to an insertion instead
+            seq.insert(0, _ALPHABET[rng.randrange(4)])
+            continue
         if etype == 0:  # mismatch
             while True:
                 pos = rng.randrange(len(seq))
@@ -37,13 +42,21 @@ def _generate_errors(seq: list[str], num_errors: int, rng: random.Random):
 
 def _generate_indels(seq: list[str], max_indels: int, deletion_length: int,
                      rng: random.Random):
-    """sequence_generate_indels (generate_dataset.c:226-245)."""
+    """sequence_generate_indels (generate_dataset.c:204-245): each indel
+    shrinks the sequence by EXACTLY deletion_length — when the drawn
+    position lands within deletion_length of the tail, the reference's
+    shift loop degenerates to truncating the last deletion_length
+    chars (it still sets length -= deletion_length)."""
     indels = rng.randrange(max_indels + 1)
     for _ in range(indels):
+        pos = rng.randrange(len(seq))       # drawn before the length check
         if deletion_length >= len(seq):
             continue
-        pos = rng.randrange(len(seq))
-        del seq[pos:pos + deletion_length]
+        new_len = len(seq) - deletion_length
+        if pos <= new_len:
+            del seq[pos:pos + deletion_length]
+        else:
+            del seq[new_len:]
     return seq
 
 

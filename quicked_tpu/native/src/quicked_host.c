@@ -1773,12 +1773,15 @@ int64_t qh_align(
         status = 1;             /* QUICKED_WIP (quicked.c:305) */
     }
     free(pe); free(te);
-    /* extract_results: score from the CIGAR unless only_score */
-    if (!only_score && n > 0) {
+    /* extract_results (quicked.c:34-56): the score is the CIGAR's edit
+     * score whenever a traceback ran, and only_score keeps the cigar
+     * NULL for every algorithm */
+    if (n > 0) {
         int64_t edit = 0;
         for (int64_t i = 0; i < n; i++) edit += (ops_out[i] != 'M');
         score = edit;
     }
+    if (only_score) n = 0;
     *score_out = score;
     *ops_n_out = n;
     return status;

@@ -422,16 +422,18 @@ def stage_batch(batch: BandedBatch, lanes: int | None = None):
         ext = ((k_ext - batch.prolog[None, :] + 1) * 64).astype(np.int32)
         init_scores = np.concatenate([init_scores, ext], axis=0)
 
+    # lane-tile pad fills (one source of truth): inert geometry for the
+    # dead lanes — cutoff/nbr at their minima and an empty live range
+    # (first0 > last0) so blk_lo = min(first) ignores them
+    pad_fills = {"cutoff": 65, "nbr": 1, "first0": EBB8 - 1}
     args_2d = dict(
         peq_lo=pad_rows(batch.peq_lo), peq_hi=pad_rows(batch.peq_hi),
         lm_lo=pad_rows(batch.lm_lo), lm_hi=pad_rows(batch.lm_hi),
         text=batch.text, init_scores=init_scores,
-        cutoff=padded(batch.cutoff, 65), prolog=padded(batch.prolog),
-        nbr=padded(batch.nbr, 1), finish_v=padded(batch.finish_v),
-        tfinish=padded(batch.tfinish), first0=padded(batch.first0),
-        last0=padded(batch.last0))
-    args_2d = {k: padded(v, 65) if k == "cutoff" else
-               (padded(v, 1) if k == "nbr" else padded(v))
+        cutoff=batch.cutoff, prolog=batch.prolog, nbr=batch.nbr,
+        finish_v=batch.finish_v, tfinish=batch.tfinish,
+        first0=batch.first0, last0=batch.last0)
+    args_2d = {k: padded(v, pad_fills.get(k, 0))
                for k, v in args_2d.items()}
     tiled_np = {k: _tile_lanes(v, lanes) for k, v in args_2d.items()}
     # pad the PEQ alphabet axis 5 -> 8 for Mosaic sublane tiling

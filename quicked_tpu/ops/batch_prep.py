@@ -198,7 +198,11 @@ def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,
         init_scores=init_full,
         cutoff=vec(cutoff, fill=65), prolog=vec(prolog),
         nbr=vec(nbr, fill=1), finish_v=vec(finish_v),
-        tfinish=vec(text_finish), first0=vec(prolog),
+        # pad lanes carry an EMPTY live band range [EBB-1, 0] (their
+        # tfinish=0 keeps maintenance off): kernels that bound work by
+        # min(first)/max(last) over the lane tile (banded_pallas) must
+        # not have dead lanes pin the lower bound to row 0
+        tfinish=vec(text_finish), first0=vec(prolog, fill=EBB - 1),
         last0=vec(ebb_p - 1, fill=0), plen=vec(plen, fill=1),
         tlen=vec(tlen, fill=1), enc_patterns=enc_p, enc_texts=enc_t,
     )

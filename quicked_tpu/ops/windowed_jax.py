@@ -52,8 +52,13 @@ class WindowedBatch:
 def _raw_i32(s, enc) -> np.ndarray:
     if isinstance(s, np.ndarray):
         return np.asarray(enc, dtype=np.int32)
-    return np.frombuffer(s.encode("ascii", errors="replace"),
-                         dtype=np.uint8).astype(np.int32)
+    if s.isascii():
+        return np.frombuffer(s.encode("ascii"),
+                             dtype=np.uint8).astype(np.int32)
+    # true char compare for non-ASCII input: an errors='replace' encode
+    # would collapse distinct chars to '?' and let the M-test match them
+    # (the cigar.check_alignment convention)
+    return np.fromiter(map(ord, s), dtype=np.int32, count=len(s))
 
 
 def prepare_windowed_batch(patterns, texts, *, window_size: int,
@@ -70,14 +75,14 @@ def prepare_windowed_batch(patterns, texts, *, window_size: int,
     B = pad_to_b or n
     assert B >= n
     cols = W * window_size
-    KP = max(max(div_ceil(int(L), W), 1) for L in plen)
+    KP = max(max(div_ceil(int(L), W), 1) for L in plen) if n else 1
     if min_kp:
         KP = max(KP, min_kp)
-    T = max(int(tlen.max()), cols)
+    T = max(int(tlen.max()) if n else 1, cols)
     if min_t:
         T = max(T, min_t)
     # at least one window tall: the kernel slices (cols,)-windows
-    P = max(int(plen.max()), cols)
+    P = max(int(plen.max()) if n else 1, cols)
     if min_p:
         P = max(P, min_p)
 

@@ -61,7 +61,12 @@ def read_seq_batches(path: str, batch_size: int,
 
     raw = open(path, "rb")
     raw.seek(start)
-    f = io.TextIOWrapper(raw, encoding="ascii", errors="replace")
+    # newline="\n": no universal-newline translation, so len(line) is
+    # the exact byte count (start/end are byte offsets) and a CRLF
+    # file keeps its '\r' inside the sequence — both matching the
+    # reference's getline parser (align_benchmark.c:84-97)
+    f = io.TextIOWrapper(raw, encoding="ascii", errors="replace",
+                         newline="\n")
     try:
         remaining = None if end is None else end - start
         batch: list = []
@@ -90,7 +95,10 @@ def read_seq_pairs(path_or_file) -> Iterator[tuple[str, str]]:
     """Yield (pattern, text) pairs from a .seq file."""
     close = False
     if isinstance(path_or_file, str):
-        f: TextIO = open(path_or_file, "r")
+        # same decoding/newline semantics as read_seq_batches, so the
+        # distributed sharding modes agree on malformed/CRLF input
+        f: TextIO = open(path_or_file, "r", encoding="ascii",
+                         errors="replace", newline="\n")
         close = True
     else:
         f = path_or_file

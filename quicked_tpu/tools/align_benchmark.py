@@ -171,15 +171,13 @@ def _check_pair(mode, pattern, text, score, cigar_rle, stats, verbose,
             return
         stats.align_correct.add(1)
         stats.align_bases.add(len(pattern))
-        for op in ops:
-            if op == "M":
-                stats.align_matches.add(1)
-            elif op == "X":
-                stats.align_mismatches.add(1)
-            elif op == "I":
-                stats.align_ins.add(1)
-            else:
-                stats.align_del.add(1)
+        # O(1)-per-pair breakdown: all samples are 1, so add_repeat is
+        # bit-exact with the reference's per-op counter_add loop
+        stats.align_matches.add_repeat(1, ops.count("M"))
+        stats.align_mismatches.add_repeat(1, ops.count("X"))
+        stats.align_ins.add_repeat(1, ops.count("I"))
+        stats.align_del.add_repeat(1, len(ops) - ops.count("M")
+                                   - ops.count("X") - ops.count("I"))
     else:
         stats.align_correct.add(1)
     if mode in ("score", "alignment"):
@@ -211,15 +209,14 @@ def main(argv=None) -> int:
     if args.bandwidth is None:
         # per-algorithm resolution (align_benchmark_params.c:268-312)
         args.bandwidth = -1 if args.algorithm == "edlib" else 15
+    import os
+
     if args.num_threads is not None:
         # the host-thread knob of the reference's OpenMP batch loop
         # (--num-threads, align_benchmark.c:232-306): caps the native
         # kernels' worker pools
-        import os as _os
-        _os.environ["QUICKED_TPU_CPU_THREADS"] = str(max(args.num_threads,
-                                                         1))
-
-    import os
+        os.environ["QUICKED_TPU_CPU_THREADS"] = str(max(args.num_threads,
+                                                        1))
     if not os.path.exists(args.input):
         print(f"ERROR: input file '{args.input}' not found", file=sys.stderr)
         return 1
@@ -316,7 +313,7 @@ def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
         truths = _truth_batch(pairs)
 
     for i, (pattern, text) in enumerate(pairs):
-        err = int(statuses[i]) < 0 if statuses is not None else False
+        err = int(statuses[i]) < 0
         if out_file:
             if err:
                 score_s, cigar_s = "ERROR", ("-" if args.only_score

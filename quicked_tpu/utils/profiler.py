@@ -52,6 +52,27 @@ class Counter:
         self.total += amount
         self.samples += 1
 
+    def add_repeat(self, amount: int, k: int) -> None:
+        """k successive add(amount) calls in O(1), bit-exact with the
+        sequential loop when every prior sample also equals `amount`
+        (the per-op CIGAR-breakdown pattern: all adds are 1) — the
+        Welford recurrence is then a fixed point (delta = 0). Falls
+        back to the loop otherwise."""
+        if k <= 0:
+            return
+        if self.samples > 0 and (self._old_m != float(amount)
+                                 or self._old_s != 0.0):
+            for _ in range(k):
+                self.add(amount)
+            return
+        if self.samples == 0:
+            self.min = amount
+            self.max = amount
+            self._old_m = self._new_m = float(amount)
+            self._old_s = self._new_s = 0.0
+        self.total += amount * k
+        self.samples += k
+
     def mean(self) -> float:
         return self._new_m if self.samples else 0.0
 

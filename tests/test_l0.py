@@ -30,6 +30,12 @@ def test_cigar_roundtrip():
     assert c.sprint(False) == "1X2I3D"
     assert c.sprint_sam(False) == "6M2I3D"
     assert c.sprint_sam(True) == "5=1X2I3D"
+    # leading-mismatch quirk: the reference latches the first op BEFORE
+    # the X->M mapping (cigar.c:210), so a leading X run stays X even
+    # with show_mismatches=False
+    assert Cigar(operations="XMM").sprint_sam(False) == "1X2M"
+    assert Cigar(operations="XXMM").sprint_sam(False) == "1X3M"
+    assert Cigar(operations="MXM").sprint_sam(False) == "3M"
 
 
 def test_cigar_check():
@@ -96,3 +102,23 @@ def test_generator_length_diff():
         assert len(text) == 150
         assert len(pat) == 100
         assert pat in text  # extracted, no errors
+
+
+def test_only_score_nulls_cigar_every_algo():
+    # extract_results (quicked.c:34-56): only_score keeps the cigar
+    # NULL for EVERY algorithm, and the score matches the full run's
+    from quicked_tpu import generate
+    from quicked_tpu.api import align_pair
+    from quicked_tpu.params import QuickedAlgo, QuickedParams
+
+    (p, t), = generate.generate_pairs(1, 300, error=0.1, seed=41)
+    for algo in (QuickedAlgo.QUICKED, QuickedAlgo.BANDED,
+                 QuickedAlgo.HIRSCHBERG, QuickedAlgo.WINDOWED):
+        for use_kernels in (False, True):
+            params = QuickedParams(algo=algo, use_kernels=use_kernels)
+            _, s_full, c_full = align_pair(p, t, params)
+            _, s_only, c_only = align_pair(
+                p, t, params.replace(only_score=True))
+            assert c_only is None, (algo, use_kernels, c_only)
+            assert c_full is not None, (algo, use_kernels)
+            assert s_only == s_full, (algo, use_kernels)

@@ -115,3 +115,25 @@ def test_mm_stack():
     st.pop()                   # outer scope unwinds fully
     e = st.allocate(8)
     assert e.shape == (8,)
+
+
+def test_counter_add_repeat_matches_loop():
+    from quicked_tpu.utils.profiler import Counter
+
+    # all-equal fast path (the CIGAR-breakdown pattern)
+    a, b = Counter(), Counter()
+    a.add_repeat(1, 5)
+    for _ in range(5):
+        b.add(1)
+    assert (a.total, a.samples, a.min, a.max) == \
+        (b.total, b.samples, b.min, b.max)
+    assert a.mean() == b.mean() and a.stddev() == b.stddev()
+    # mixed-value fallback stays bit-exact with the sequential loop
+    a.add(3)
+    b.add(3)
+    a.add_repeat(2, 4)
+    for _ in range(4):
+        b.add(2)
+    assert a.mean() == b.mean() and a.stddev() == b.stddev()
+    assert (a.total, a.samples, a.min, a.max) == \
+        (b.total, b.samples, b.min, b.max)
