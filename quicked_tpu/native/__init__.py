@@ -64,17 +64,27 @@ def _build() -> bool:
     # vector extensions widen to AVX2); fall back to the portable build
     # on toolchains that reject it
     variants = (["-O3", "-march=native"], ["-O3"])
+    # compile to a private temp path and publish with an atomic rename:
+    # a timed-out cc or a concurrent builder in another process must
+    # never leave a partial .so at the final path (CDLL would then
+    # raise on every subsequent run instead of falling back)
+    tmp = f"{_LIB_PATH}.build{os.getpid()}"
     for cc in ("cc", "gcc", "clang"):
         for flags in variants:
             try:
                 subprocess.run(
                     [cc, *flags, "-shared", "-fPIC", "-pthread", "-o",
-                     _LIB_PATH, _SRC],
+                     tmp, _SRC],
                     check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _LIB_PATH)
                 return True
             except (subprocess.CalledProcessError, FileNotFoundError,
-                    subprocess.TimeoutExpired):
+                    subprocess.TimeoutExpired, OSError):
                 continue
+    try:
+        os.remove(tmp)
+    except OSError:
+        pass
     return False
 
 
@@ -140,7 +150,17 @@ def _load():
                       "(no C compiler); using Python fallbacks",
                       file=sys.stderr)
                 return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # corrupt leftover (e.g. from an older non-atomic build):
+            # rebuild once, then give up to the Python fallbacks
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         lib.qh_encode_dna.argtypes = [_u8p, _i64, _u8p]
         lib.qh_traceback_banded.restype = _i64
         lib.qh_traceback_banded.argtypes = [

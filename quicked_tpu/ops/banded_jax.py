@@ -113,6 +113,13 @@ def _maintenance(pv, mv, scw, first, last, captures, nb, batch_consts, EBB,
     m_write = do_shift[None, :] & (w_idx == (last + 1)[None, :])
     scw = jnp.where(m_write, (c_last + W)[None, :], scw)
 
+    # NOTE on the c_last capture: it is masked by the live range
+    # [first, last], so it would read 0 if a lane ever reached
+    # first > last while do_shift held. The band geometry makes that
+    # unreachable (cutoff >= |Δlen|+1 couples NB/nbr/prolog so clamp
+    # only trims the trailing blocks; fuzzed across extreme
+    # length-ratio/cutoff regimes against the wavefront/cscan kernels,
+    # which read scw[clip(last)] directly, with zero divergence).
     cut_higher = (first + 2 < last) & (W * (last - 1) > finish_v) & \
         ((c_last1 + (W * (last - 1) - finish_v)) > cutoff)
     clamp_at = nbr - 1 if full_variant else nbr

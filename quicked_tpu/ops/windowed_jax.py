@@ -49,6 +49,14 @@ class WindowedBatch:
     num_words: np.ndarray
 
 
+def hew_cell_threshold(window_size: int, overlap_size: int,
+                       hew_threshold: int) -> int:
+    """Cell-count threshold above which a window counts as high-error
+    (bpm_windowed.c:925 semantics) — the ONE definition shared by the
+    device kernel, the sharded driver, and callers."""
+    return (window_size - overlap_size) * W * hew_threshold // 100
+
+
 def _raw_i32(s, enc) -> np.ndarray:
     if isinstance(s, np.ndarray):
         return np.asarray(enc, dtype=np.int32)
@@ -391,10 +399,10 @@ def run_windowed_score(batch: WindowedBatch, hew_threshold: int,
     on the TPU)."""
     import contextlib
 
-    hew_cells = np.full(
-        batch.B,
-        (window_size - overlap_size) * W * hew_threshold // 100,
-        dtype=np.int32)
+    hew_cells = np.full(batch.B,
+                        hew_cell_threshold(window_size, overlap_size,
+                                           hew_threshold),
+                        dtype=np.int32)
     ctx = jax.default_device(device) if device is not None \
         else contextlib.nullcontext()
     with ctx:

@@ -33,7 +33,10 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def shard_lanes(batch: BandedBatch, n_shards: int) -> BandedBatch:
-    """Pad the lane axis so it divides evenly across shards."""
+    """Pad the lane axis so it divides evenly across shards. The padded
+    batch is an internal execution artifact (run_banded_sharded strips
+    the pad from its outputs); its host-side sequence lists keep their
+    original length."""
     B = batch.B
     rem = B % n_shards
     if rem == 0:
@@ -52,7 +55,8 @@ def shard_lanes(batch: BandedBatch, n_shards: int) -> BandedBatch:
         text=pad_last(batch.text), init_scores=pad_last(batch.init_scores),
         cutoff=pad_last(batch.cutoff, 65), prolog=pad_last(batch.prolog),
         nbr=pad_last(batch.nbr, 1), finish_v=pad_last(batch.finish_v),
-        tfinish=pad_last(batch.tfinish), first0=pad_last(batch.first0),
+        tfinish=pad_last(batch.tfinish),
+        first0=pad_last(batch.first0, batch.EBB - 1),
         last0=pad_last(batch.last0), plen=pad_last(batch.plen, 1),
         tlen=pad_last(batch.tlen, 1))
 
@@ -79,28 +83,43 @@ def _lane_specs(full: bool):
     return in_specs, out_specs
 
 
+# jit-wrapper cache: a fresh shard_map/jit object per call would defeat
+# the jit cache and re-trace on every invocation
+_BANDED_FNS: dict = {}
+_WINDOWED_FNS: dict = {}
+
+
 def run_banded_sharded(batch: BandedBatch, mesh: Mesh | None = None):
     """Execute the banded kernel with lanes sharded over the mesh.
 
     Returns a dict of host numpy arrays, identical to
-    banded_jax.run_banded (bit-exact: lanes are independent)."""
+    banded_jax.run_banded (bit-exact: lanes are independent; any lane
+    padding added for divisibility is stripped from the outputs)."""
     if mesh is None:
         mesh = make_mesh()
     n = mesh.devices.size
+    B_orig = batch.B
     batch = shard_lanes(batch, n)
-    in_specs, out_specs = _lane_specs(batch.full)
-    # check_vma=False: lanes are fully independent (no collectives); scan
-    # carries initialised inside the body are unvarying by construction.
-    fn = jax.shard_map(
-        partial(banded_scan_impl, EBB=batch.EBB, NB=batch.NB,
-                full=batch.full),
-        mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    key = (mesh, batch.EBB, batch.NB, batch.full)
+    fn = _BANDED_FNS.get(key)
+    if fn is None:
+        in_specs, out_specs = _lane_specs(batch.full)
+        # check_vma=False: lanes are fully independent (no collectives);
+        # scan carries initialised inside the body are unvarying by
+        # construction.
+        fn = jax.jit(jax.shard_map(
+            partial(banded_scan_impl, EBB=batch.EBB, NB=batch.NB,
+                    full=batch.full),
+            mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False))
+        _BANDED_FNS[key] = fn
     args = (batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi,
             batch.text, batch.init_scores, batch.cutoff, batch.prolog,
             batch.nbr, batch.finish_v, batch.tfinish, batch.first0,
             batch.last0)
-    out = jax.jit(fn)(*[jnp.asarray(a) for a in args])
-    return {k: np.asarray(v) for k, v in out.items()}
+    out = fn(*[jnp.asarray(a) for a in args])
+    # every output's lane axis is trailing — strip the shard padding
+    return {k: np.asarray(v)[..., :B_orig] for k, v in out.items()}
 
 
 def run_windowed_sharded(batch: WindowedBatch, hew_threshold: int,
@@ -114,19 +133,24 @@ def run_windowed_sharded(batch: WindowedBatch, hew_threshold: int,
     if batch.B % n:
         raise ValueError(f"lane count {batch.B} not divisible by mesh "
                          f"size {n}; pad_to_b accordingly")
-    W64 = 64
-    hew_cells = np.full(
-        batch.B,
-        (window_size - overlap_size) * W64 * hew_threshold // 100,
-        dtype=np.int32)
-    in_specs = (P(None, None, "data"), P(None, None, "data"),
-                P(None, "data"), P(None, "data"), P(None, "data"),
-                P("data"), P("data"), P("data"), P("data"))
-    fn = jax.shard_map(
-        partial(windowed_scan_impl, WS=window_size, OVL=overlap_size),
-        mesh=mesh, in_specs=in_specs, out_specs=(P("data"), P("data")),
-        check_vma=False)
-    score, hew = jax.jit(fn)(
+    from quicked_tpu.ops.windowed_jax import hew_cell_threshold
+
+    hew_cells = np.full(batch.B,
+                        hew_cell_threshold(window_size, overlap_size,
+                                           hew_threshold),
+                        dtype=np.int32)
+    key = (mesh, window_size, overlap_size)
+    fn = _WINDOWED_FNS.get(key)
+    if fn is None:
+        in_specs = (P(None, None, "data"), P(None, None, "data"),
+                    P(None, "data"), P(None, "data"), P(None, "data"),
+                    P("data"), P("data"), P("data"), P("data"))
+        fn = jax.jit(jax.shard_map(
+            partial(windowed_scan_impl, WS=window_size, OVL=overlap_size),
+            mesh=mesh, in_specs=in_specs,
+            out_specs=(P("data"), P("data")), check_vma=False))
+        _WINDOWED_FNS[key] = fn
+    score, hew = fn(
         jnp.asarray(batch.peq_lo), jnp.asarray(batch.peq_hi),
         jnp.asarray(batch.text_enc), jnp.asarray(batch.text_raw),
         jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),

@@ -3,22 +3,23 @@
 ctypes releases the GIL during C calls, so per-pair kernels thread
 across lanes — the host-CPU analogue of the reference's OpenMP batch
 loop (align_benchmark.c:232-306). Coarse contiguous chunks keep pool
-dispatch overhead negligible. `QUICKED_TPU_CPU_THREADS` overrides the
-worker count.
+dispatch overhead negligible. The worker count honors both
+`QUICKED_TPU_CPU_THREADS` and any active `native.thread_budget`
+context (one source of truth: native.default_threads).
 """
 
 from __future__ import annotations
 
-import os
 from concurrent.futures import ThreadPoolExecutor
 
 
 def map_lanes(fn, n: int, workers: int | None = None) -> None:
     """Run fn(i) for i in range(n), threaded in contiguous chunks."""
     if workers is None:
-        workers = min(int(os.environ.get("QUICKED_TPU_CPU_THREADS",
-                                         os.cpu_count() or 1)), max(n, 1))
-    if workers <= 1 or n <= workers:
+        from quicked_tpu.native import default_threads
+
+        workers = min(default_threads(), max(n, 1))
+    if workers <= 1 or n <= 1:
         for i in range(n):
             fn(i)
         return

@@ -33,6 +33,21 @@ def test_banded_sharded_equals_single():
         np.testing.assert_array_equal(single[k], sharded[k], err_msg=k)
 
 
+def test_banded_sharded_non_divisible_lanes():
+    # B=10 on 8 devices: shard_lanes pads internally, and the outputs
+    # come back stripped to the caller's lane count, bit-exact
+    pairs = _pairs(10, 180, 0.1, 3)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    cutoffs = [max(len(p), len(t)) * 40 // 100 for p, t in pairs]
+    batch = prepare_banded_batch(pats, txts, cutoffs, full=False)
+    single = run_banded(batch)
+    sharded = run_banded_sharded(batch, make_mesh(8))
+    for k in single:
+        assert np.asarray(sharded[k]).shape == np.asarray(single[k]).shape
+        np.testing.assert_array_equal(single[k], sharded[k], err_msg=k)
+
+
 def test_windowed_sharded_equals_single():
     pairs = _pairs(16, 250, 0.12, 2)
     pats = [p for p, _ in pairs]
