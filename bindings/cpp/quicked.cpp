@@ -20,22 +20,42 @@ std::int64_t qh_align(
 
 namespace quicked {
 
+// Messages byte-match quicked_status_msg (quicked.c:382-403), incl.
+// the trailing newline.
 static const char *status_msg(QuickedStatus s) {
     switch (s) {
-        case QuickedStatus::QUICKED_FAIL_NON_CONVERGENCE:
+        case QUICKED_FAIL_NON_CONVERGENCE:
             return "ERROR: Hirschberg algorithm can not find a middle "
-                   "point of subsequence division!";
-        case QuickedStatus::QUICKED_UNKNOWN_ALGO:
-            return "ERROR: Unknown algorithm selection";
-        case QuickedStatus::QUICKED_EMPTY_SEQUENCE:
-            return "ERROR: Tried to align an empty sequence";
+                   "point of subsequence division!\n";
+        case QUICKED_UNIMPLEMENTED:
+            return "ERROR: The algorithm or parameter combination "
+                   "selected is not implemented\n";
+        case QUICKED_UNKNOWN_ALGO:
+            return "ERROR: Unknown algorithm selection\n";
+        case QUICKED_EMPTY_SEQUENCE:
+            return "ERROR: Tried to align an empty sequence\n";
         default:
-            return "ERROR: QuickEd has finished with unspecific error";
+            return "ERROR: QuickEd has finished with unspecific error\n";
     }
 }
 
 QuickedException::QuickedException(QuickedStatus status)
     : std::runtime_error(status_msg(status)), status_(status) {}
+
+// The qh_align ABI orders the algos QUICKED=0, BANDED=1, WINDOWED=2,
+// HIRSCHBERG=3; the public enum keeps the reference's values
+// (WINDOWED=1, BANDED=2), so map here.
+static std::int64_t abi_algo(QuickedAlgo a) {
+    switch (a) {
+        case WINDOWED: return 2;
+        case BANDED: return 1;
+        default: return static_cast<std::int64_t>(a);
+    }
+}
+
+void QuickedAligner::align(std::string *pattern, std::string *text) {
+    align(*pattern, *text);
+}
 
 void QuickedAligner::align(const std::string &pattern,
                            const std::string &text) {
@@ -43,7 +63,7 @@ void QuickedAligner::align(const std::string &pattern,
     std::int64_t score = -1, n = 0;
     const std::int64_t budget = 16LL * 1024 * 1024;  // BUFFER_SIZE_16M
     std::int64_t st = qh_align(
-        static_cast<std::int64_t>(algo_),
+        abi_algo(algo_),
         reinterpret_cast<const std::uint8_t *>(pattern.data()),
         static_cast<std::int64_t>(pattern.size()),
         reinterpret_cast<const std::uint8_t *>(text.data()),

@@ -1,12 +1,17 @@
 /*
  * C++ binding over the quicked_tpu native host runtime.
  *
- * Mirrors the reference's RAII surface (bindings/cpp/quicked.hpp:47-69):
- * a QuickedAligner with per-parameter setters, align(), getScore(),
- * getCigar(), and a QuickedException raised on error statuses. The
- * backend is the native C runtime (quicked_tpu/native/src/
- * quicked_host.c: qh_align) — the same kernels the Python package uses
- * as its host fallback, bit-exact with the device kernels.
+ * Mirrors the reference's RAII surface (bindings/cpp/quicked.hpp:47-69)
+ * source-compatibly: a QuickedAligner with per-parameter setters,
+ * align() taking std::string pointers (the reference signature; a
+ * const-reference overload is also provided), getScore(), getCigar(),
+ * and a QuickedException raised on error statuses. The enums are
+ * unscoped with the REFERENCE's values (quicked.h:36-41, 69-79), so
+ * `quicked::BANDED` and integer round-trips with the Python package
+ * agree across surfaces. The backend is the native C runtime
+ * (quicked_tpu/native/src/quicked_host.c: qh_align) — the same kernels
+ * the Python package uses as its host fallback, bit-exact with the
+ * device kernels.
  *
  * Build: link against libquicked_host.so, or compile the C runtime in:
  *   gcc -O2 -c quicked_tpu/native/src/quicked_host.c -o quicked_host.o
@@ -21,19 +26,22 @@
 
 namespace quicked {
 
-enum class QuickedAlgo : std::int64_t {
+// Values match the reference quicked_algo_t (quicked.h:36-41).
+enum QuickedAlgo : std::int64_t {
     QUICKED = 0,
-    BANDED = 1,
-    WINDOWED = 2,
+    WINDOWED = 1,
+    BANDED = 2,
     HIRSCHBERG = 3,
 };
 
-enum class QuickedStatus : std::int64_t {
+// Values match the reference quicked_status_t (quicked.h:69-79).
+enum QuickedStatus : std::int64_t {
     QUICKED_OK = 0,
     QUICKED_ERROR = -1,
     QUICKED_FAIL_NON_CONVERGENCE = -2,
     QUICKED_UNKNOWN_ALGO = -3,
     QUICKED_EMPTY_SEQUENCE = -4,
+    QUICKED_UNIMPLEMENTED = -10,
     QUICKED_WIP = 1,
 };
 
@@ -51,6 +59,9 @@ public:
     QuickedAligner() = default;
 
     // Throws QuickedException on error statuses (empty sequence, ...).
+    // Pointer form = the reference binding's signature; the
+    // const-reference overload is a convenience.
+    void align(std::string *pattern, std::string *text);
     void align(const std::string &pattern, const std::string &text);
 
     void setAlgorithm(QuickedAlgo algo) { algo_ = algo; }
@@ -68,7 +79,7 @@ public:
     std::string getCigar() const { return cigar_.empty() ? "NULL" : cigar_; }
 
 private:
-    QuickedAlgo algo_ = QuickedAlgo::QUICKED;
+    QuickedAlgo algo_ = QUICKED;
     bool only_score_ = false;
     std::int64_t bandwidth_ = 15;
     std::int64_t window_size_ = 9;

@@ -60,17 +60,30 @@ def _generate_indels(seq: list[str], max_indels: int, deletion_length: int,
     return seq
 
 
+def text_length_for(pattern_length: int, length_diff: float) -> int:
+    """ceilf((float)length * (float)length_diff) in FLOAT32 like the
+    reference (generate_dataset.c:367) — float64 ceil differs, e.g.
+    100 * 1.07 is 107.00000286 in f32 (ceil 108) but 107.0 in f64."""
+    import numpy as np
+
+    return int(np.ceil(np.float32(pattern_length) * np.float32(length_diff)))
+
+
 def generate_pairs(num: int, length: int, error: float = 0.04,
                    length_diff: float = 1.0, indels_num: int = 0,
                    indels_length: int = 0,
                    seed: int | None = None) -> Iterator[tuple[str, str]]:
     """Yield (pattern, text) pairs; the shorter sequence is the pattern."""
+    import numpy as np
+
     rng = random.Random(seed)
     pattern_length = length
-    text_length = math.ceil(pattern_length * length_diff)
+    text_length = text_length_for(pattern_length, length_diff)
     seqlong_len = max(pattern_length, text_length)
     seqshort_len = min(pattern_length, text_length)
-    num_errors = int(error) if error >= 1.0 else math.ceil(pattern_length * error)
+    # float32 ceilf like the reference (generate_dataset.c:370)
+    num_errors = int(error) if error >= 1.0 else \
+        int(np.ceil(np.float32(pattern_length) * np.float32(error)))
     for _ in range(num):
         seqlong = "".join(_ALPHABET[rng.randrange(4)] for _ in range(seqlong_len))
         offset = rng.randrange(seqlong_len - seqshort_len + 1)

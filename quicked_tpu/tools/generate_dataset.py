@@ -43,9 +43,10 @@ def main(argv=None) -> int:
         return 1
     out = open(args.output, "w") if args.output else sys.stdout
     # line-1 is always the pattern; the reference marks the shorter
-    # sequence '>' and the longer '<' (generate_dataset.c:399-409)
-    import math
-    flipped = args.length > math.ceil(args.length * args.length_diff)
+    # sequence '>' and the longer '<' (generate_dataset.c:399-409).
+    # One source of truth for the length math: generate.text_length_for.
+    flipped = args.length > generate.text_length_for(args.length,
+                                                     args.length_diff)
     p1, p2 = ("<", ">") if flipped else (">", "<")
     try:
         for pattern, text in generate.generate_pairs(

@@ -54,3 +54,36 @@ def test_cpp_binding_params(tmp_path):
                          text=True).stdout
     assert "BANDED score: 2" in out
     assert "empty: ERROR: Tried to align an empty sequence" in out
+
+
+REFERENCE = "/root/reference"
+
+
+@pytest.mark.parametrize("example", ["basic.cpp", "params.cpp"])
+def test_cpp_binding_reference_examples_compile_and_run(tmp_path, example):
+    # Drop-in source compatibility: the REFERENCE's own binding
+    # examples (align(&pattern, &text), quicked::BANDED, ...) must
+    # compile unmodified against this header and run correctly.
+    src = os.path.join(REFERENCE, "examples", "bindings", example)
+    if not os.path.exists(src):
+        pytest.skip("reference tree not mounted")
+    obj = tmp_path / "quicked_host.o"
+    exe = tmp_path / "app"
+    subprocess.run(
+        ["gcc", "-O2", "-c", "-o", str(obj),
+         os.path.join(REPO, "quicked_tpu", "native", "src",
+                      "quicked_host.c")],
+        check=True, capture_output=True)
+    subprocess.run(
+        ["g++", "-O2", "-I", os.path.join(REPO, "bindings", "cpp"),
+         "-o", str(exe), src,
+         os.path.join(REPO, "bindings", "cpp", "quicked.cpp"),
+         str(obj), "-pthread"],
+        check=True, capture_output=True)
+    out = subprocess.run([str(exe)], check=True, capture_output=True,
+                         text=True).stdout
+    if example == "basic.cpp":
+        # ACGT vs ACTT: one mismatch
+        assert "Score: 1" in out
+    else:
+        assert "Score" in out or "score" in out
