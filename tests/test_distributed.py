@@ -131,3 +131,28 @@ def test_concurrent_processes(tmp_path):
     assert len(lines) == 9
     for line in lines:
         assert "ERROR" not in line
+
+
+def test_crlf_input_shard_accounting(tmp_path):
+    # CRLF line endings: byte-offset shard budgets must count raw bytes
+    # (universal-newline translation used to undercount by 1/line and
+    # overrun shard ends, duplicating pairs). The '\r' stays inside the
+    # sequence like the reference's getline parser.
+    pairs = list(generate.generate_pairs(8, 60, error=0.1, seed=82))
+    seq = str(tmp_path / "crlf.seq")
+    with open(seq, "wb") as f:
+        for p, t in pairs:
+            f.write(f">{p}\r\n<{t}\r\n".encode())
+    params = QuickedParams(algo=QuickedAlgo.BANDED, bandwidth=30)
+    out1 = str(tmp_path / "o1.tsv")
+    n1 = distributed_align(seq, out1, params, process_index=0,
+                           process_count=1, sharding="range")
+    assert n1 == 8
+    out3 = str(tmp_path / "o3.tsv")
+    total = 0
+    for pi in (2, 1, 0):
+        total += distributed_align(seq, out3, params, process_index=pi,
+                                   process_count=3, sharding="range")
+    assert total == 8   # no duplicated boundary pairs
+    with open(out1) as f1, open(out3) as f3:
+        assert f1.read() == f3.read()
