@@ -103,11 +103,10 @@ def hirschberg_batch(texts, patterns, cutoffs):
                 rev = f_rev.result()
             for t, f, r, mid in zip(split, fwd, rev, mids):
                 i, path, text, pattern, cutoff = t
-                geo = myers_np.band_geometry(len(pattern), len(text), cutoff)
                 sp = myers_np.hirschberg_split_fast(
                     f.pv64, f.mv64, f.first, f.last, f.scores_k,
                     r.pv64, r.mv64, r.first, r.last, r.scores_k,
-                    f.prolog, len(pattern), len(text), geo)
+                    f.prolog, len(pattern), len(text))
                 if sp is None:
                     status[i] = QuickedStatus.QUICKED_FAIL_NON_CONVERGENCE
                     if path >= fail_path.get(i, path):

@@ -677,8 +677,7 @@ def hirschberg_split_fast(pv64: np.ndarray, mv64: np.ndarray,
                           r_first: int, r_last: int,
                           r_scores_k: np.ndarray,
                           prolog: int,
-                          pattern_len: int, text_len: int,
-                          geo: BandGeometry):
+                          pattern_len: int, text_len: int):
     """Vectorised hirschberg_split over the batched kernels' native
     outputs: pv64/mv64 are (ebb,) uint64 band words, scores_k the
     (K+1,) shifted-row score vectors (row k = absolute block row

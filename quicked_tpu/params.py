@@ -78,8 +78,13 @@ def status_msg(status: QuickedStatus | int) -> str:
 class QuickedException(Exception):
     """Raised by the high-level API on error statuses (bindings/cpp/quicked.hpp:36-45)."""
 
-    def __init__(self, status: QuickedStatus):
-        self.status = QuickedStatus(int(status))
+    def __init__(self, status: QuickedStatus | int):
+        try:
+            self.status = QuickedStatus(int(status))
+        except ValueError:
+            # unmapped native code: carry the raw int rather than
+            # replacing the exception with a ValueError
+            self.status = int(status)
         super().__init__(status_msg(status).strip())
 
 

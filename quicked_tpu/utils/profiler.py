@@ -74,7 +74,10 @@ class Counter:
         self.samples += k
 
     def mean(self) -> float:
-        return self._new_m if self.samples else 0.0
+        # counter_get_mean is total/samples (profiler_counter.c:70-72),
+        # NOT the Welford running mean (which drifts in float over many
+        # samples)
+        return self.total / self.samples if self.samples else 0.0
 
     def variance(self) -> float:
         return self._new_s / (self.samples - 1) if self.samples > 1 else 0.0
@@ -151,11 +154,17 @@ class Timer:
         self._begin = time.perf_counter_ns()
 
     def stop(self) -> None:
-        if self._begin is None:
-            return
-        self.time_ns += time.perf_counter_ns() - self._begin
-        self._begin = None
+        """timer_stop: pause, record the accumulated lap as ONE sample,
+        reset the accumulator (profiler_timer.c:57-61) — so a
+        start/pause/stop cycle still records its lap, and a later
+        resume/stop cycle cannot double-count it."""
+        if self._begin is not None:
+            self.time_ns += time.perf_counter_ns() - self._begin
+            self._begin = None
+        elif self.time_ns == 0:
+            return  # never started: avoid a spurious 0 sample
         self.count.add(self.time_ns)
+        self.time_ns = 0
 
     def pause(self) -> None:
         """timer_pause: accumulate without closing the sample."""
@@ -169,33 +178,41 @@ class Timer:
         self._begin = time.perf_counter_ns()
 
     def total_ns(self) -> int:
-        acc = self.count.total
+        """timer_get_current_total_ns: recorded samples + the
+        accumulated open lap (+ the running lap when started)."""
+        acc = self.count.total + self.time_ns
         if self._begin is not None:
             acc += time.perf_counter_ns() - self._begin
         return acc
 
     def print(self, stream, total: "Timer | None" = None) -> None:
-        """timer_print format: human time + percent of a total timer."""
-        ns = self.count.total
+        """timer_print format (profiler_timer.c:121-140): human time +
+        percent of a reference timer (0.00% when this timer is 0,
+        n/a when the reference is 0)."""
+        ns = self.count.total + self.time_ns   # timer_get_total_ns
         pct = ""
-        if total is not None and total.count.total:
-            pct = f" ({100.0 * ns / total.count.total:6.2f} %)"
+        if total is not None:
+            if ns == 0:
+                pct = " (  0.00 %)"
+            else:
+                ref = total.count.total + total.time_ns
+                pct = " (  n/a  %)" if ref == 0 else \
+                    f" ({100.0 * ns / ref:6.2f} %)"
         stream.write(f"{_human_time(ns)}{pct}\n")
 
 
 def _human_time(ns: int) -> str:
-    """TIMER_CONVERT semantics: pick a readable unit."""
-    if ns < 1_000:
-        return f"{ns:8d} ns"
-    if ns < 1_000_000:
-        return f"{ns / 1_000:8.2f} us"
-    if ns < 1_000_000_000:
-        return f"{ns / 1_000_000:8.2f} ms"
-    if ns < 60 * 1_000_000_000:
-        return f"{ns / 1_000_000_000:8.2f} s "
-    if ns < 3600 * 1_000_000_000:
-        return f"{ns / 60_000_000_000:8.2f} m "
-    return f"{ns / 3_600_000_000_000:8.2f} h "
+    """timer_print_total unit selection (profiler_timer.c:103-119):
+    width 7, minutes as the largest unit."""
+    if ns >= 60 * 1_000_000_000:
+        return f"{ns / 60_000_000_000:7.2f} m "
+    if ns >= 1_000_000_000:
+        return f"{ns / 1_000_000_000:7.2f} s "
+    if ns >= 1_000_000:
+        return f"{ns / 1_000_000:7.2f} ms"
+    if ns >= 1_000:
+        return f"{ns / 1_000:7.2f} us"
+    return f"{ns:7d} ns"
 
 
 @dataclasses.dataclass

@@ -126,11 +126,11 @@ def test_batched_driver_partial_matches_model_on_injected_failure(
         return real_split(fwd, rev, plen, tlen, geo)
 
     def injected_fast(pv, mv, first, last, sk, rpv, rmv, rfirst, rlast,
-                      rsk, prolog, plen, tlen, geo):
+                      rsk, prolog, plen, tlen):
         if (plen, tlen) == target:
             return None
         return real_fast(pv, mv, first, last, sk, rpv, rmv, rfirst,
-                         rlast, rsk, prolog, plen, tlen, geo)
+                         rlast, rsk, prolog, plen, tlen)
 
     monkeypatch.setattr(myers_np, "hirschberg_split", injected)
     monkeypatch.setattr(myers_np, "hirschberg_split_fast", injected_fast)
