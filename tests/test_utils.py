@@ -30,13 +30,24 @@ def test_timer_pause_resume():
     paused_at = t.total_ns()
     time.sleep(0.02)
     assert t.total_ns() == paused_at  # no accumulation while paused
+    assert paused_at >= 8_000_000  # the open lap counts while paused
     t.resume()
     time.sleep(0.01)
     t.stop()
     assert t.count.total >= 15_000_000  # ~20ms active
+    assert t.count.samples == 1         # one lap = one sample
     buf = io.StringIO()
     t.print(buf)
     assert "ms" in buf.getvalue()
+    # stop while paused still records the lap, exactly once
+    t2 = Timer()
+    t2.start()
+    time.sleep(0.005)
+    t2.pause()
+    t2.stop()
+    assert t2.count.samples == 1 and t2.count.total >= 3_000_000
+    t2.stop()                            # idle stop: no spurious sample
+    assert t2.count.samples == 1
 
 
 def test_heatmap_modes():
