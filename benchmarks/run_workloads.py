@@ -30,6 +30,10 @@ ONT = "/root/reference/tests/test_data/ONT.MiniION.1.seq"
 
 
 def _cpu_time(pairs, algorithm="quicked", extra=()):
+    """Single-thread C reference wall time. NOTE: includes process exec
+    + .seq parsing + output — comparable to _run_quicked only when the
+    alignment dominates (large workloads); for tiny ones the JSON's
+    speedup_vs_cpu mostly measures exec overhead."""
     from quicked_tpu import seqio
 
     bench = os.path.join(REPO, ".oracle", "bin", "align_benchmark")
@@ -89,7 +93,8 @@ def w2_ont():
         print(json.dumps({"workload": "2-ont", "skipped": "no data"}))
         return
     pairs = list(seqio.read_seq_pairs(ONT))
-    dt, _ = _run_quicked(pairs)
+    _run_quicked(pairs)            # warm (compiles; PERFORMANCE.md
+    dt, _ = _run_quicked(pairs)    # methodology reports warm numbers)
     _report("2-ont-minion", pairs, dt, _cpu_time(pairs))
 
 
@@ -108,6 +113,7 @@ def w4_long(scale):
 
     n = max(int(16 * scale), 2)
     pairs = list(generate.generate_pairs(n, 30_000, error=0.10, seed=4))
+    _run_quicked(pairs)            # warm
     dt, _ = _run_quicked(pairs)
     _report("4-long-30kbp", pairs, dt, _cpu_time(pairs))
 
@@ -121,6 +127,7 @@ def w5_mixed(scale):
     for i, (n, L, e) in enumerate(rngs):
         pairs += list(generate.generate_pairs(max(n, 1), L, error=e,
                                               seed=50 + i))
+    _run_quicked(pairs)            # warm
     dt, _ = _run_quicked(pairs)
     _report("5-mixed-stream", pairs, dt, _cpu_time(pairs))
 
@@ -128,16 +135,19 @@ def w5_mixed(scale):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", type=int, default=None,
+                    choices=(1, 2, 3, 4, 5),
                     help="run one workload (1-5); default: all")
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale factor on dataset sizes")
-    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
-                    help="force the JAX platform (default: environment)")
+    ap.add_argument("--platform", default=None,
+                    choices=("cpu", "tpu", "axon"),
+                    help="force the JAX platform (default: environment);"
+                         " 'tpu' maps to the axon plugin when present")
     args = ap.parse_args()
 
     if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+        from quicked_tpu.utils.platform import force_platform
+        force_platform(args.platform)
 
     from quicked_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()

@@ -61,8 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verbose", "-v", nargs="?", const=1, type=int,
                    default=0)
     p.add_argument("--quiet", "-q", action="store_true")
-    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
-                   help="force the JAX platform (default: environment)")
+    p.add_argument("--platform", default=None,
+                   choices=("cpu", "tpu", "axon"),
+                   help="force the JAX platform (default: environment); "
+                        "'tpu' maps to the axon plugin when present")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace into DIR")
     return p
@@ -222,8 +224,8 @@ def main(argv=None) -> int:
         return 1
 
     if args.platform:
-        import jax
-        jax.config.update("jax_platforms", args.platform)
+        from quicked_tpu.utils.platform import force_platform
+        force_platform(args.platform)
 
     from quicked_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()

@@ -16,14 +16,32 @@ ORACLE_BIN = os.path.join(REPO, ".oracle", "bin")
 REFERENCE = "/root/reference"
 
 
+_build_failed = False    # memoize: one cmake attempt per process
+
+
 def _build() -> bool:
-    if not os.path.isdir(REFERENCE):
+    global _build_failed
+    if _build_failed or not os.path.isdir(REFERENCE):
         return False
     src = os.path.join(REPO, ".oracle", "src")
     build = os.path.join(REPO, ".oracle", "build2")
     try:
         if not os.path.isdir(src):
-            shutil.copytree(REFERENCE, src)
+            # copy to a temp dir + atomic rename: an interrupted copy
+            # must not leave a partial tree that poisons every later
+            # build (isdir(src) would skip the re-copy forever)
+            tmp = src + f".tmp{os.getpid()}"
+            try:
+                shutil.copytree(REFERENCE, tmp)
+                try:
+                    os.replace(tmp, src)
+                except OSError:
+                    if not os.path.isdir(src):   # concurrent builder won
+                        raise
+                    shutil.rmtree(tmp, ignore_errors=True)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         subprocess.run(["cmake", "-S", src, "-B", build,
                         "-DCMAKE_BUILD_TYPE=Release"],
                        check=True, capture_output=True)
@@ -36,6 +54,7 @@ def _build() -> bool:
                 shutil.copy2(p, os.path.join(ORACLE_BIN, name))
         return True
     except (subprocess.CalledProcessError, OSError):
+        _build_failed = True    # don't re-run cmake for every test
         return False
 
 
