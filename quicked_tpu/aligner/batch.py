@@ -350,6 +350,23 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             lanes_budget = max(FULL_FILL_BYTES_BUDGET // max(per_lane, 1),
                                1)
             chunk = 1 << (lanes_budget.bit_length() - 1)
+            if device_full:
+                from quicked_tpu.ops.banded_pallas import LANES_FULL_MIN
+            if device_full and chunk < LANES_FULL_MIN:
+                # Deep/long bucket: the Mosaic lane tile can't go below
+                # LANES_FULL_MIN, so the device would allocate at least
+                # that many lanes of traceback planes and blow the byte
+                # budget the chunking enforces — the per-pair host C
+                # fill+traceback is the right venue (device_full implies
+                # native_available()).
+                sc_nat, ops_nat = run_banded_full_native(
+                    [patterns[i] for i in idxs],
+                    [texts[i] for i in idxs],
+                    [cutoffs[i] for i in idxs])
+                for j, i in enumerate(idxs):
+                    scores[i] = sc_nat[j]
+                    ops_out[i] = ops_nat[j]
+                continue
         for s in range(0, len(idxs), chunk):
             sub = idxs[s:s + chunk]
             pats = [patterns[i] for i in sub]

@@ -245,9 +245,16 @@ def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
                     if max(len(pairs[i][0]), len(pairs[i][1])) <= fast_max]
     else:
         fast = []
-    if fast:
-        return _cascade_with_native_lane(pairs, params, timers, fast)
-    return _cascade_staged(pairs, params, timers)
+    # One total-timer lap per batch call regardless of lane routing (a
+    # mixed fast/slow batch runs BOTH lanes; each lane timing its own
+    # total would record two laps per call and split the printed mean)
+    timers.total.start()
+    try:
+        if fast:
+            return _cascade_with_native_lane(pairs, params, timers, fast)
+        return _cascade_staged(pairs, params, timers)
+    finally:
+        timers.total.stop()
 
 
 def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
@@ -263,7 +270,6 @@ def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
     scores = np.full(n, -1, dtype=np.int64)
     cigars: list = [None] * n
 
-    timers.total.start()
     st, sc, rles = native.quicked_batch(
         [pairs[i][0] for i in fast], [pairs[i][1] for i in fast],
         bandwidth=params.bandwidth, window_size=params.window_size,
@@ -274,7 +280,8 @@ def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
     deferred = []       # (input index, proven bound)
     for j, i in enumerate(fast):
         if st[j] == 0:
-            statuses[i] = QuickedStatus.QUICKED_OK
+            # run_quicked returns QUICKED_WIP on success (quicked.c:305)
+            statuses[i] = QuickedStatus.QUICKED_WIP
             scores[i] = sc[j]
             cigars[i] = rles[j] if rles[j] else None
         else:
@@ -287,13 +294,13 @@ def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
                                [pairs[i][0] for i, _ in deferred],
                                [b for _, b in deferred])
         for (i, _), (h_st, h_ops) in zip(deferred, res):
-            # run_quicked ignores the Hirschberg status (quicked.c:290-305)
-            statuses[i] = QuickedStatus.QUICKED_OK
+            # run_quicked ignores the Hirschberg status and returns WIP
+            # (quicked.c:290-305)
+            statuses[i] = QuickedStatus.QUICKED_WIP
             c = Cigar(operations=h_ops or "")
             scores[i] = c.score_edit()
             cigars[i] = c.sprint(True) if h_ops else None
         timers.align.stop()
-    timers.total.stop()
 
     if slow:
         sub = _cascade_staged([pairs[i] for i in slow], params, timers)
@@ -316,7 +323,6 @@ def _cascade_staged(pairs, params: QuickedParams, timers) -> CascadeResult:
     from quicked_tpu.aligner.hirschberg import hirschberg_batch
 
     # ---- STAGE 1: fast windowed bound (quicked.c:184-199) ----
-    timers.total.start()
     timers.windowed_s.start()
     score, hew = windowed_score_batch(pats, txts, params.hew_threshold[0],
                                       2, 1)
@@ -374,7 +380,6 @@ def _cascade_staged(pairs, params: QuickedParams, timers) -> CascadeResult:
     timers.align.start()
     res = hirschberg_batch(txts, pats, [int(s) for s in score])
     timers.align.stop()
-    timers.total.stop()
 
     statuses: list = [None] * n
     final_scores = np.full(n, -1, dtype=np.int64)
@@ -383,7 +388,7 @@ def _cascade_staged(pairs, params: QuickedParams, timers) -> CascadeResult:
         # run_quicked ignores the Hirschberg status and extracts whatever
         # (possibly partial) CIGAR is in the shared buffer, returning WIP
         # (quicked.c:290-305) — non-convergence is not an error here.
-        statuses[i] = QuickedStatus.QUICKED_OK
+        statuses[i] = QuickedStatus.QUICKED_WIP
         c = Cigar(operations=ops or "")
         final_scores[i] = c.score_edit()
         cigars[i] = c.sprint(True) if ops else None

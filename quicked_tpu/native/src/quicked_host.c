@@ -1753,6 +1753,7 @@ int64_t qh_align(
         } else {
             n = qh_windowed_full(pe, pattern_raw, plen, te, text_raw,
                                  tlen, window_size, overlap_size, ops_out);
+            if (n < 0) { status = -1; n = 0; }
         }
     } else if (algo == 3) {     /* HIRSCHBERG */
         int64_t cutoff = max_len * bandwidth / 100;

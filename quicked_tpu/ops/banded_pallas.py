@@ -50,7 +50,8 @@ CH = 8        # snapshot chunk: columns per output DMA (full variant)
 U32 = jnp.uint32
 I32 = jnp.int32
 LANES = 1024       # score-variant pairs per tile
-LANES_FULL = 256   # full-variant pairs per tile
+LANES_FULL = 256       # full-variant pairs per tile (upper bound)
+LANES_FULL_MIN = 128   # Mosaic lane-dim floor (last dim 128-divisible)
 ALPH = 8      # alphabet axis padded 5 -> 8 (Mosaic sublane tiling)
 
 
@@ -392,7 +393,13 @@ def stage_batch(batch: BandedBatch, lanes: int | None = None):
     EBB8_pre = -(-batch.EBB // 8) * 8
     if lanes is None:
         if batch.full:
-            lanes = LANES_FULL
+            # Traceback planes in HBM scale with the PADDED lane count:
+            # clamp to the batch's pow2 width so small full batches
+            # (deep bands, long texts) honor the caller's byte budget
+            # (aligner/batch.py chunks on FULL_FILL_BYTES_BUDGET)
+            # instead of allocating LANES_FULL lanes of planes.
+            b_p2 = max(LANES_FULL_MIN, 1 << max(B - 1, 0).bit_length())
+            lanes = min(LANES_FULL, b_p2)
         else:
             b_p2 = max(256, 1 << max(B - 1, 0).bit_length())
             lanes = min(score_lanes(EBB8_pre, batch.NB), b_p2)

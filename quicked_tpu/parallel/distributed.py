@@ -73,6 +73,17 @@ def distributed_align(input_path: str, output_path: str,
         process_index, process_count = maybe_initialize_distributed()
     if sharding not in ("interleaved", "range", "stride"):
         raise ValueError(f"unknown sharding mode {sharding!r}")
+    marker = seqio.record_marker(input_path)
+    if marker is None and sharding in ("interleaved", "range"):
+        # The first two lines don't carry two distinct '>'/'<' markers
+        # (e.g. a hand-made file using '>' on both lines): record starts
+        # can't be recognized by pair_start_at's local byte scan, so a
+        # byte-range shard could begin mid-record and silently mispair
+        # every record after it. Stride sharding parses the whole stream
+        # per process and needs no boundary scan. Every process derives
+        # the same fallback from the same file bytes, so the run nonce
+        # and shard formats stay consistent.
+        sharding = "stride"
 
     # Stale-run hygiene without a startup ordering requirement: every
     # process derives the same nonce from the run's identity (input
@@ -120,9 +131,11 @@ def distributed_align(input_path: str, output_path: str,
             size = os.path.getsize(input_path)
             n_chunks = _n_chunks(size)
             for c in range(process_index, n_chunks, process_count):
-                lo = seqio.pair_start_at(input_path, c * CHUNK_BYTES)
+                lo = seqio.pair_start_at(input_path, c * CHUNK_BYTES,
+                                         marker=marker)
                 hi = seqio.pair_start_at(input_path,
-                                         (c + 1) * CHUNK_BYTES) \
+                                         (c + 1) * CHUNK_BYTES,
+                                         marker=marker) \
                     if c + 1 < n_chunks else size
                 out.write(f"#{c}\n")
                 for batch in seqio.read_seq_batches(
@@ -132,9 +145,11 @@ def distributed_align(input_path: str, output_path: str,
         elif sharding == "range":
             size = os.path.getsize(input_path)
             lo = seqio.pair_start_at(
-                input_path, process_index * size // process_count)
+                input_path, process_index * size // process_count,
+                marker=marker)
             hi = seqio.pair_start_at(
-                input_path, (process_index + 1) * size // process_count) \
+                input_path, (process_index + 1) * size // process_count,
+                marker=marker) \
                 if process_index + 1 < process_count else size
             for batch in seqio.read_seq_batches(input_path, batch_size,
                                                 start=lo, end=hi):
@@ -152,9 +167,14 @@ def distributed_align(input_path: str, output_path: str,
             if batch:
                 emit(align_batch_full(batch, params), batch_ids)
 
-    # completion marker for the shard-file barrier, echoing the nonce
-    with open(shard_path + ".done", "w") as f:
+    # completion marker for the shard-file barrier, echoing the nonce.
+    # Written via tmp + rename: the coordinator's stale-marker cleanup
+    # can read concurrently, and a half-written marker would mismatch
+    # the nonce and be deleted — deadlocking the barrier.
+    done_tmp = shard_path + ".done.tmp"
+    with open(done_tmp, "w") as f:
         f.write(nonce)
+    os.replace(done_tmp, shard_path + ".done")
     if process_index == 0:
         _wait_for_shards(output_path, process_count, nonce,
                          timeout_s=barrier_timeout_s)

@@ -11,13 +11,34 @@ from __future__ import annotations
 from typing import Iterator, TextIO
 
 
-def pair_start_at(path: str, pos: int, chunk_bytes: int = 4 << 20) -> int:
+def record_marker(path: str) -> bytes | None:
+    """Marker byte starting each RECORD's first line: b'>' normally, but
+    b'<' for flipped datasets (length_diff < 1), where generate_dataset
+    prints '<long' before '>short' and the parser still takes line 1 as
+    the pattern (generate_dataset.c:399-409, align_benchmark.c:88-93).
+    Returns None when the first two lines don't carry two DISTINCT
+    '>'/'<' markers — record starts then can't be recognized by a local
+    byte scan (pair_start_at), so byte-range sharding must not be used."""
+    try:
+        with open(path, "rb") as f:
+            m1 = f.readline()[:1]
+            m2 = f.readline()[:1]
+    except OSError:
+        return None
+    if m1 in (b">", b"<") and m2 in (b">", b"<") and m1 != m2:
+        return m1
+    return None
+
+
+def pair_start_at(path: str, pos: int, chunk_bytes: int = 4 << 20,
+                  marker: bytes = b">") -> int:
     """First byte offset >= pos that starts a pair record: a line whose
-    first byte is '>' ('>pattern' per align_benchmark.c:73-99) at the
-    start of the file or immediately after a newline. Returns the file
-    size when no boundary follows. The scan is local to pos — it never
-    reads from the start of the file — so N processes can align their
-    byte-range shards without N full-file passes."""
+    first byte is `marker` (the file's record marker from record_marker;
+    '>' for normal '>pattern/<text' files, align_benchmark.c:73-99) at
+    the start of the file or immediately after a newline. Returns the
+    file size when no boundary follows. The scan is local to pos — it
+    never reads from the start of the file — so N processes can align
+    their byte-range shards without N full-file passes."""
     import os
 
     size = os.path.getsize(path)
@@ -25,9 +46,10 @@ def pair_start_at(path: str, pos: int, chunk_bytes: int = 4 << 20) -> int:
         return 0
     if pos >= size:
         return size
+    needle = b"\n" + marker
     with open(path, "rb") as f:
-        # a '>' at pos qualifies if the previous byte is a newline, so
-        # begin the b"\n>" search one byte early
+        # a marker byte at pos qualifies if the previous byte is a
+        # newline, so begin the search one byte early
         scan_from = pos - 1
         f.seek(scan_from)
         carry = b""
@@ -36,7 +58,7 @@ def pair_start_at(path: str, pos: int, chunk_bytes: int = 4 << 20) -> int:
             if not chunk:
                 return size
             data = carry + chunk
-            hit = data.find(b"\n>")
+            hit = data.find(needle)
             if hit >= 0:
                 return scan_from - len(carry) + hit + 1
             scan_from += len(chunk)

@@ -79,6 +79,58 @@ def test_pair_start_at(tmp_path):
     assert seqio.pair_start_at(seq, mid, chunk_bytes=1) == starts[2]
 
 
+def test_flipped_dataset_sharding(tmp_path):
+    # length_diff < 1 datasets are written '<pattern/>text'
+    # (generate_dataset.c:399-409: longer sequence is the pattern), so
+    # record starts are marked '<' — byte-range sharding must detect
+    # the marker or it would cut records in half and silently mispair
+    # everything after the first chunk boundary
+    pairs = list(generate.generate_pairs(10, 120, error=0.1, seed=83,
+                                         length_diff=0.8))
+    assert all(len(p) > len(t) for p, t in pairs)
+    seq = str(tmp_path / "flipped.seq")
+    with open(seq, "w") as f:
+        for p, t in pairs:
+            f.write(f"<{p}\n>{t}\n")
+    assert seqio.record_marker(seq) == b"<"
+    params = QuickedParams(algo=QuickedAlgo.BANDED, bandwidth=30)
+    out1 = str(tmp_path / "o1.tsv")
+    distributed_align(seq, out1, params, process_index=0, process_count=1)
+    for mode in ("interleaved", "range"):
+        outn = str(tmp_path / f"on_{mode}.tsv")
+        total = 0
+        for pi in (2, 1, 0):
+            total += distributed_align(seq, outn, params, process_index=pi,
+                                       process_count=3, sharding=mode)
+        assert total == 10
+        with open(out1) as f1, open(outn) as fn:
+            assert f1.read() == fn.read()
+
+
+def test_ambiguous_marker_falls_back_to_stride(tmp_path):
+    # both lines marked '>' (hand-made file): no local record-start
+    # signal, so byte-range modes must fall back to stride (parse all,
+    # take id % N) instead of mispairing records
+    pairs = list(generate.generate_pairs(6, 80, error=0.1, seed=84))
+    seq = str(tmp_path / "ambig.seq")
+    with open(seq, "w") as f:
+        for p, t in pairs:
+            f.write(f">{p}\n>{t}\n")
+    assert seqio.record_marker(seq) is None
+    params = QuickedParams(algo=QuickedAlgo.BANDED, bandwidth=30)
+    out1 = str(tmp_path / "o1.tsv")
+    distributed_align(seq, out1, params, process_index=0, process_count=1,
+                      sharding="stride")
+    outn = str(tmp_path / "on.tsv")
+    total = 0
+    for pi in (1, 0):
+        total += distributed_align(seq, outn, params, process_index=pi,
+                                   process_count=2, sharding="interleaved")
+    assert total == 6
+    with open(out1) as f1, open(outn) as fn:
+        assert f1.read() == fn.read()
+
+
 def test_range_sharding_more_processes_than_pairs(tmp_path):
     pairs = list(generate.generate_pairs(3, 80, error=0.05, seed=79))
     seq = str(tmp_path / "in.seq")

@@ -33,6 +33,6 @@ def test_ont_minion_parity():
         with open(out) as f:
             ref_score, ref_cigar = f.read().strip().split("\t")
     res = quicked_cascade_batch(pairs)
-    assert res.status[0] == QuickedStatus.QUICKED_OK
+    assert res.status[0] == QuickedStatus.QUICKED_WIP
     assert int(res.score[0]) == int(ref_score)
     assert res.cigar[0] == ref_cigar

@@ -70,3 +70,38 @@ def test_venue_decision_flips_with_link(monkeypatch):
     monkeypatch.setattr(ab, "_DISPATCH_S", [0.5])
     monkeypatch.setattr(ab, "_LINK_MBPS", [20.0])
     assert ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S) > est_host
+
+
+def test_mixed_lane_batch_records_one_total_lap(monkeypatch):
+    # A batch split across the native and staged lanes must record ONE
+    # timers.total lap per call (two would split the printed mean), and
+    # every pair must carry run_quicked's WIP status (quicked.c:305).
+    import types
+
+    import jax
+
+    from quicked_tpu.aligner import cascade
+    from quicked_tpu.params import QuickedParams, QuickedStatus
+    from quicked_tpu.utils.profiler import PhaseTimers
+
+    monkeypatch.setenv("QUICKED_TPU_NATIVE_CASCADE_MAX_LEN", "16")
+    monkeypatch.setattr(cascade, "_windowed_device", lambda *a: None)
+    # pretend the platform is an accelerator so the length split engages
+    real_devices = jax.devices
+
+    def fake_devices(*a, **k):
+        d = real_devices(*a, **k)
+        # a neutral accelerator name: engages the length split without
+        # routing the staged lane onto compiled-Pallas (CPU backend)
+        return [types.SimpleNamespace(platform="fake_accel")] \
+            if a == () else d
+
+    monkeypatch.setattr(jax, "devices", fake_devices)
+    pairs = [("ACGTACGT", "ACGTACGT"),                      # native lane
+             ("ACGT" * 16, "ACGT" * 15 + "ACGA")]           # staged lane
+    timers = PhaseTimers()
+    res = cascade.quicked_cascade_batch(pairs, QuickedParams(),
+                                        timers=timers)
+    assert timers.total.count.samples == 1
+    assert all(st == QuickedStatus.QUICKED_WIP for st in res.status)
+    assert int(res.score[0]) == 0 and res.cigar[0] == "8M"
