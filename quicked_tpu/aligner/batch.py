@@ -85,8 +85,10 @@ CSCAN_MIN_EBB = 48
 CSCAN_MAX_B = 32
 
 # Systolic deep-band kernel (banded_sysband_pallas): one advance per
-# cell vs the carry-scan's two-advances-plus-scan; preferred for deep
-# bands once proven on-chip. QUICKED_TPU_SYSBAND=0 opts out (falls back
+# cell vs the carry-scan's two-advances-plus-scan. Proven on-chip
+# (benchmarks/sysband_onchip.py: bit-parity on 6 geometries incl. ONT
+# 500 kbp, 2.73e9 block-advances/s = 4.8x the carry-scan kernel), so
+# default ON for deep bands; QUICKED_TPU_SYSBAND=0 opts out (falls back
 # to the carry-scan kernel); its resident-window init bounds EBB.
 SYSBAND_MIN_EBB = 192
 SYSBAND_MAX_EBB = 3500
@@ -140,6 +142,10 @@ _DISPATCH_S: list = []
 # wins for big fills), ~0.3-1 s through the dev tunnel (host wins).
 HOST_ADV_PER_S_PER_CORE = 1.1e8
 CSCAN_ADV_PER_S = 5.7e8
+# Systolic deep-band kernel: 2.73e9 block-advances/s measured on v5e
+# (benchmarks/sysband_onchip.py, ONT-geometry case, best of 3 with
+# materialized outputs).
+SYSBAND_ADV_PER_S = 2.73e9
 # Pairs-as-lanes device kernel: ~1e10 block-advances/s with full 2048
 # lane tiles (0.79 Gbases/s marginal at 13-block bands); scales ~with
 # lane occupancy below one tile.
@@ -216,18 +222,19 @@ def _run_banded_auto(batch):
                     native_available as _host_ok,
                     run_banded_native as _run_host,
                 )
+                sysband = (SYSBAND_MIN_EBB <= batch.EBB <= SYSBAND_MAX_EBB
+                           and os.environ.get("QUICKED_TPU_SYSBAND",
+                                              "1") == "1")
                 if _host_ok() and batch.enc_patterns is not None:
                     adv = _deep_band_advances(batch)
                     cores = max(os.cpu_count() or 1, 1)
                     est_host = adv / (HOST_ADV_PER_S_PER_CORE * cores)
-                    est_dev = _score_device_est_s(batch, adv,
-                                                  CSCAN_ADV_PER_S)
+                    est_dev = _score_device_est_s(
+                        batch, adv,
+                        SYSBAND_ADV_PER_S if sysband else CSCAN_ADV_PER_S)
                     if est_host < est_dev:
                         return _run_host(batch)
-                # default-off until the compiled kernel's on-chip parity
-                # is proven (flip the default with the measured numbers)
-                if SYSBAND_MIN_EBB <= batch.EBB <= SYSBAND_MAX_EBB and \
-                        os.environ.get("QUICKED_TPU_SYSBAND", "0") == "1":
+                if sysband:
                     from quicked_tpu.ops.banded_sysband_pallas import (
                         run_banded_sysband_pallas,
                     )
