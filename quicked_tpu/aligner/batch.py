@@ -295,6 +295,19 @@ def _traceback_tiled(mats_tiled, lanes, batch, sub, patterns, texts):
     return ops
 
 
+def _lane_pad(n_live: int, ebb_p2: int, min_lanes: int) -> int:
+    """Padded lane count for a bucket. Shallow buckets keep the
+    min_lanes floor (bounds XLA compile variants for the lane-vector
+    kernels, where pad lanes are nearly free). Deep buckets skip it:
+    they route to the grid-row Mosaic kernels (cscan/sysband) or the
+    host C kernel, where every pad lane multiplies upload bytes and
+    kernel work — padding a single ONT-scale pair to 8 lanes was 8x
+    the staging cost and flipped the venue estimate to the host."""
+    if ebb_p2 > PALLAS_MAX_EBB:
+        return _next_pow2(n_live)
+    return max(_next_pow2(n_live), min_lanes)
+
+
 def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                        min_lanes: int = 8):
     """BANDED algorithm over a batch, through the device kernels.
@@ -379,7 +392,7 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             pats = [patterns[i] for i in sub]
             txts = [texts[i] for i in sub]
             cos = [cutoffs[i] for i in sub]
-            b_pad = max(_next_pow2(len(sub)), min_lanes)
+            b_pad = _lane_pad(len(sub), ebb_p2, min_lanes)
             batch = prepare_banded_batch(
                 pats, txts, cos, full=not only_score,
                 pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
@@ -452,7 +465,7 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
         txts = [texts[i] for i in idxs]
         cos = [cutoffs[i] for i in idxs]
         fins = [text_finish[i] for i in idxs]
-        b_pad = max(_next_pow2(len(idxs)), min_lanes)
+        b_pad = _lane_pad(len(idxs), ebb_p2, min_lanes)
         batch = prepare_banded_batch(
             pats, txts, cos, full=False, text_finish=fins,
             pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)

@@ -75,32 +75,19 @@ def hirschberg_batch(texts, patterns, cutoffs):
             cos = [t[4] for t in split]
             mids = [(len(t[2]) + 1) // 2 for t in split]
             mids_r = [len(t[2]) - m for t, m in zip(split, mids)]
-            # the forward and reverse half passes are independent; on
-            # the host-kernel path they run concurrently (ctypes
-            # releases the GIL), halving the per-level wall time for
-            # single long pairs (bpm_hirschberg.c:84-100)
-            from concurrent.futures import ThreadPoolExecutor
-            import os
-
-            from quicked_tpu import native
-
-            # each concurrent half gets half the host cores, so the
-            # intra-band threaded wavefront in the native kernel never
-            # oversubscribes (2 halves x ncpu threads live-locks the
-            # strip carries on small hosts)
-            half_budget = max((os.cpu_count() or 2) // 2, 1)
-
-            def _half(ps, ts, fins):
-                with native.thread_budget(half_budget):
-                    return banded_score_results(ps, ts, cos,
-                                                text_finish=fins)
-
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                f_fwd = ex.submit(_half, pats, txts, mids)
-                f_rev = ex.submit(_half, [p[::-1] for p in pats],
-                                  [t[::-1] for t in txts], mids_r)
-                fwd = f_fwd.result()
-                rev = f_rev.result()
+            # the forward and reverse half passes are independent and
+            # share geometry, so they merge into ONE score batch: a
+            # single kernel dispatch per level (halves the per-level
+            # dispatch+upload cost on device venues), and on the host
+            # venue the native batch kernel splits its thread pool
+            # across the 2N lanes itself (intra = threads/lanes,
+            # bpm_hirschberg.c:84-100's concurrency without
+            # oversubscription)
+            both = banded_score_results(
+                pats + [p[::-1] for p in pats],
+                txts + [t[::-1] for t in txts],
+                cos + cos, text_finish=mids + mids_r)
+            fwd, rev = both[:len(split)], both[len(split):]
             for t, f, r, mid in zip(split, fwd, rev, mids):
                 i, path, text, pattern, cutoff = t
                 sp = myers_np.hirschberg_split_fast(

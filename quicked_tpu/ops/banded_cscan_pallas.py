@@ -532,8 +532,12 @@ def collect_cscan(out, statics):
     """Assemble the kernel outputs into run_banded's score-only dict."""
     R, EBB, NB, K, B = (statics["R"], statics["EBB"], statics["NB"],
                         statics["K"], statics["B"])
+    # one batched transfer (per-output np.asarray costs a round trip
+    # each; 8x tunnel latency dominated the collect)
+    import jax
+
     dropped, scw, pv_lo, pv_hi, mv_lo, mv_hi, first, last = \
-        [np.asarray(o) for o in out]
+        jax.device_get(list(out))
     scores_by_k = np.empty((K + 1, B), dtype=np.int32)
     scores_by_k[:NB] = dropped.reshape(B, NB).T
     tail = scw.reshape(B, (R + 1) * LN)[:, :K + 1 - NB]

@@ -209,4 +209,4 @@ def run_banded(batch: BandedBatch, backend: str = "jax"):
             batch.last0]
     out = _banded_scan(*[jnp.asarray(a) for a in args],
                        EBB=batch.EBB, NB=batch.NB, full=batch.full)
-    return {k: np.asarray(v) for k, v in out.items()}
+    return jax.device_get(out)  # one batched transfer for the dict

@@ -481,9 +481,14 @@ def collect_outputs(out, statics):
                        statics["K"])
     names = ("scores_by_k", "pv_lo", "pv_hi", "mv_lo", "mv_hi",
              "first", "last")
+    # one batched transfer: per-output np.asarray pays a device round
+    # trip each, which dominates the collect on high-latency links
+    import jax
+
+    host_out = jax.device_get(list(out[:7]))
     res = {}
-    for name, arr in zip(names, out[:7]):
-        host = _untile_lanes(np.asarray(arr))
+    for name, arr in zip(names, host_out):
+        host = _untile_lanes(arr)
         if name == "scores_by_k":
             host = host[:K + 1]
         elif name in ("first", "last"):
@@ -492,7 +497,7 @@ def collect_outputs(out, statics):
             host = host[:EBB]
         res[name] = host[..., :B]
     if statics["FULL"]:
-        res["mats_tiled"] = [np.asarray(a) for a in out[7:11]]
+        res["mats_tiled"] = jax.device_get(list(out[7:11]))
         res["lanes"] = statics["LANES"]
     return res
 

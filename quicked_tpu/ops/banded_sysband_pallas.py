@@ -601,8 +601,10 @@ def collect_sysband(out, batch: BandedBatch, statics):
     R, DR, NB, K = (statics["R"], statics["DR"], statics["NB"],
                     statics["K"])
     B, EBB = batch.B, batch.EBB
+    # one batched transfer: per-output np.asarray costs a tunnel round
+    # trip each (9x ~30 ms dominates the collect on high-latency links)
     (scores_p, pv_lo_p, pv_hi_p, mv_lo_p, mv_hi_p,
-     first, last, base, abort) = [np.asarray(o) for o in out]
+     first, last, base, abort) = jax.device_get(list(out))
     base = base.reshape(B)
     tf64 = batch.tfinish.astype(np.int64) // W
     prolog = batch.prolog.astype(np.int64)

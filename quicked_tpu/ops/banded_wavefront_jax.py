@@ -201,4 +201,4 @@ def run_banded_wavefront(batch: BandedBatch):
             batch.last0]
     out = _wavefront_scan(*[jnp.asarray(a) for a in args],
                           EBB=batch.EBB, NB=batch.NB)
-    return {k: np.asarray(v) for k, v in out.items()}
+    return jax.device_get(out)  # one batched transfer for the dict

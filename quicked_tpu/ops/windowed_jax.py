@@ -370,10 +370,10 @@ def run_windowed_full(batch: WindowedBatch, window_size: int,
             jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
             jnp.asarray(dummy), WS=window_size, OVL=overlap_size,
             full=True, MAXOPS=maxops)
-    ops_buf = np.asarray(ops_buf)
-    op_n = np.asarray(op_n)
-    pos_v = np.asarray(pos_v)
-    pos_h = np.asarray(pos_h)
+    # one batched transfer (4 separate np.asarray calls pay a device
+    # round trip each — latency-bound on high-latency links)
+    ops_buf, op_n, pos_v, pos_h = jax.device_get(
+        [ops_buf, op_n, pos_v, pos_h])
     out = []
     lut = np.array([0] + [ord(_OP_CHARS[c]) for c in (1, 2, 3, 4)],
                    dtype=np.uint8)
@@ -412,4 +412,4 @@ def run_windowed_score(batch: WindowedBatch, hew_threshold: int,
             jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),
             jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
             jnp.asarray(hew_cells), WS=window_size, OVL=overlap_size)
-    return np.asarray(score), np.asarray(hew)
+    return tuple(jax.device_get([score, hew]))
