@@ -16,9 +16,13 @@ Layout (one pair per grid row, grid (B, NSEG)):
   stored at alphabet slot 5 (and 6/7 padding), so the per-recenter
   refill is a single contiguous [b, kt] tile per plane — 8 sublanes,
   satisfying the whole-tile DMA rule.
-- Text lives in HBM as (B, TT, 128) i32 tiles; a (8, 128) VMEM entry
-  buffer feeds the per-step chars-cascade entry scalar (masked-reduce
-  extraction), refilled by DMA when the entry column leaves the window.
+- Text lives in HBM as (B, TT, 128) i32 tiles with FOUR chars packed
+  per word (byte c%4 of word c//4) — quarters the host->device upload
+  (the dominant per-call cost on high-latency links) and the entry
+  refill DMA count; a (8, 128) VMEM entry buffer feeds the per-step
+  chars-cascade entry scalar (masked-reduce word extract + byte
+  shift), refilled by DMA when the entry column leaves its
+  4096-column window.
 - Scalar machines (bottom/top edges, pending edits, rings) live in an
   SMEM scratch vector; first/last rings are SMEM arrays of RING
   entries.
@@ -91,7 +95,8 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
     drow = _row_idx((DR, LN))
 
     def fetch_ent(tile8):
-        """DMA text tiles [tile8, tile8+8) into the entry buffer."""
+        """DMA packed-text tiles [tile8, tile8+8) into the entry buffer
+        (each (8, 128) tile holds 4096 chars, 4 per i32 word)."""
         t8 = pl.multiple_of(8 * (tile8 // 8), 8)
         cp = pltpu.make_async_copy(
             text_hbm.at[b, pl.ds(t8, 8)], raw_ent, sems.at[2])
@@ -152,9 +157,9 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
             m = _row_idx((ALPH, R, LN)) == r
             slab_lo[:] = jnp.where(m, raw_peq_lo[:][:, None, :], slab_lo[:])
             slab_hi[:] = jnp.where(m, raw_peq_hi[:][:, None, :], slab_hi[:])
-        # chars slot 0 must hold text[0] at t = 0
+        # chars slot 0 must hold text[0] at t = 0 (byte 0 of word 0)
         e0 = jnp.sum(jnp.where((erow == 0) & (elane == 0),
-                               ent_buf[:], 0))
+                               ent_buf[:], 0)) & 0xFF
         chars[:] = jnp.where(blk == 0, e0, jnp.zeros((R, LN), I32))
 
     def row_sel(target_slot, plane_val, ref):
@@ -354,18 +359,21 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
         c0 = W * (u0 // CY) + jnp.minimum(u0 % CY, W - 1)
         c0 = jnp.clip(c0, 0, NB * W - 1)
 
-        # entry-buffer refill when c0 leaves the current 1024-col window
-        tile8 = 8 * ((c0 // LN) // 8)
+        # entry-buffer refill when c0 leaves the current 4096-col window
+        # (packed: word c0//4 holds chars 4w..4w+3 in its bytes)
+        c4 = c0 // 4
+        tile8 = 8 * ((c4 // LN) // 8)
 
         @pl.when(tile8 != sc[S_ENT])
         def _refill():
             fetch_ent(jnp.clip(tile8, 0, TT - 8))
             sc[S_ENT] = tile8
 
-        er = (c0 // LN) - sc[S_ENT]
-        el = c0 % LN
-        entry = jnp.sum(jnp.where((erow == er) & (elane == el),
-                                  ent_buf[:], 0))
+        er = (c4 // LN) - sc[S_ENT]
+        el = c4 % LN
+        word = jnp.sum(jnp.where((erow == er) & (elane == el),
+                                 ent_buf[:], 0))
+        entry = (word >> (8 * (c0 % 4))) & 0xFF
         chars[:] = jnp.where(blk == 0, entry,
                              flat_shift_down(chars[:], 1, 0))
         col_now = col[:]
@@ -556,7 +564,9 @@ def stage_sysband_batch(batch: BandedBatch):
     assert NS <= 3968, f"sysband resident window too deep (NS={NS})"
     KT = -(-(K + 1) // LN) + R + 2
     DR = -(-(K + 1) // LN) + R + 1
-    TT = max(-(-(NB * W) // LN) // 8 * 8 + 8, 8)
+    # text tiles hold 4 packed chars per i32 word
+    n_words = -(-(NB * W) // 4)
+    TT = max(-(-n_words // LN) // 8 * 8 + 8, 8)
     RING = 1 << max(int(np.ceil(np.log2(NS // CY + 8))), 4)
     T_end = total_steps(NB, NS)
     SEG = 512
@@ -576,9 +586,10 @@ def stage_sysband_batch(batch: BandedBatch):
     peq_lo = tile(batch.peq_lo, batch.lm_lo, 0xFFFFFFFF, 0)
     peq_hi = tile(batch.peq_hi, batch.lm_hi, 0xFFFFFFFF, 0x80000000)
 
-    text_t = np.zeros((B, TT, LN), dtype=np.int32)
-    flat = batch.text.T.astype(np.int32)            # (B, NB*W)
-    text_t.reshape(B, TT * LN)[:, :NB * W] = flat
+    # pack 4 chars (values 0..4) into each little-endian i32 word
+    flat8 = np.zeros((B, TT * LN * 4), dtype=np.uint8)
+    flat8[:, :NB * W] = batch.text.T.astype(np.uint8)
+    text_t = flat8.view("<u4").astype(np.int32).reshape(B, TT, LN)
 
     def col(v):
         return jnp.asarray(np.asarray(v, dtype=np.int32).reshape(B, 1, 1))
