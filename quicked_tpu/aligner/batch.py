@@ -11,6 +11,7 @@ per-pair driver loop (quicked.c:405-437) + OpenMP batch loop
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
 
 import numpy as np
@@ -265,7 +266,6 @@ def _run_banded_auto(batch):
             if native_available() and batch.enc_patterns is not None:
                 return run_banded_native(batch)
         if platform == "tpu":
-            import os
             deep = batch.EBB > PALLAS_MAX_EBB or \
                 (batch.B <= CSCAN_MAX_B and batch.EBB >= CSCAN_MIN_EBB)
             # Deep bands / tiny batches: the carry-scan Mosaic kernel
@@ -387,7 +387,6 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             native_available,
             run_banded_full_native,
         )
-        import os
 
         # Venue choice for full (traceback) fills: the device kernel is
         # faster at filling, but its band planes must come back to the

@@ -72,6 +72,70 @@ def test_venue_decision_flips_with_link(monkeypatch):
     assert ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S) > est_host
 
 
+def test_probe_cache_roundtrip_real_files(tmp_path, monkeypatch):
+    """Non-mocked probe-cache coverage (round-2 regression: batch.py
+    used `os` without importing it, so every TPU venue decision crashed
+    at HEAD while the mocked tests stayed green). Executes the real
+    _probe_cache_{path,get,put} against a tmp cache dir."""
+    monkeypatch.setenv("QUICKED_TPU_CACHE", str(tmp_path))
+    monkeypatch.setenv("QUICKED_TPU_PROBE_CACHE", "1")
+    assert ab._probe_cache_path() == str(tmp_path / "device_probes.json")
+    assert ab._probe_cache_get("readback_mbps") is None
+    ab._probe_cache_put("readback_mbps", 123.5)
+    assert ab._probe_cache_get("readback_mbps") == 123.5
+    # a second key coexists in the same file
+    ab._probe_cache_put("other", 7.0)
+    assert ab._probe_cache_get("readback_mbps") == 123.5
+    assert ab._probe_cache_get("other") == 7.0
+    # TTL expiry: a stale timestamp misses
+    import json
+    path = ab._probe_cache_path()
+    data = json.load(open(path))
+    data["readback_mbps"]["ts"] -= ab._PROBE_TTL_S + 1
+    json.dump(data, open(path, "w"))
+    assert ab._probe_cache_get("readback_mbps") is None
+    # disabled cache: put/get are no-ops
+    monkeypatch.setenv("QUICKED_TPU_PROBE_CACHE", "0")
+    ab._probe_cache_put("x", 1.0)
+    assert ab._probe_cache_get("other") is None
+
+
+def test_device_probes_execute_for_real(tmp_path, monkeypatch):
+    """Run _device_readback_mbps / _device_dispatch_s end-to-end (on the
+    CPU platform) with an empty memo, touching the real probe + cache
+    write; the second call must serve the memo."""
+    monkeypatch.setenv("QUICKED_TPU_CACHE", str(tmp_path))
+    monkeypatch.setattr(ab, "_LINK_MBPS", [])
+    monkeypatch.setattr(ab, "_DISPATCH_S", [])
+    mbps = ab._device_readback_mbps()
+    assert mbps > 0.0
+    assert ab._device_readback_mbps() == mbps   # memoized
+    assert ab._probe_cache_get("readback_mbps") == mbps  # persisted
+    disp = ab._device_dispatch_s()
+    assert disp > 0.0
+    assert ab._device_dispatch_s() == disp
+
+    # a fresh process (fresh memo) with a seeded cache must read the
+    # cached value instead of re-probing
+    monkeypatch.setattr(ab, "_LINK_MBPS", [])
+    ab._probe_cache_put("readback_mbps", 42.0)
+    assert ab._device_readback_mbps() == 42.0
+
+
+def test_score_device_estimate_uses_real_probes(tmp_path, monkeypatch):
+    """_score_device_est_s with NO monkeypatched probe constants — the
+    exact call chain that crashed at round-2 HEAD
+    (_run_banded_auto -> _score_device_est_s -> _device_readback_mbps
+    -> _probe_cache_get -> os.environ)."""
+    monkeypatch.setenv("QUICKED_TPU_CACHE", str(tmp_path))
+    monkeypatch.setattr(ab, "_LINK_MBPS", [])
+    monkeypatch.setattr(ab, "_DISPATCH_S", [])
+    b = _batch()
+    adv = ab._deep_band_advances(b)
+    est = ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S)
+    assert est > 0.0 and np.isfinite(est)
+
+
 def test_mixed_lane_batch_records_one_total_lap(monkeypatch):
     # A batch split across the native and staged lanes must record ONE
     # timers.total lap per call (two would split the printed mean), and
