@@ -101,8 +101,9 @@ _LINK_MBPS: list = []    # cached device->host readback bandwidth probe
 # passes on concurrent threads, and two simultaneous probes would time
 # each other's transfers (halving the measured bandwidth, inflating the
 # dispatch latency) and cache the contended numbers for the process
-# lifetime.
-_PROBE_LOCK = threading.Lock()
+# lifetime. Reentrant: rate calibration holds it while consuming the
+# link/dispatch probes.
+_PROBE_LOCK = threading.RLock()
 
 # Below this device->host bandwidth the full-fill band-plane readback
 # dominates any device fill speedup, so full (traceback) fills stay on
@@ -123,7 +124,7 @@ def _probe_cache_path() -> str:
     return os.path.join(d, "device_probes.json")
 
 
-def _probe_cache_get(key: str):
+def _probe_cache_get(key: str, ttl: float | None = None):
     """Cross-process probe memo: a fresh CLI process otherwise re-pays
     the 8 MB readback probe (~0.8 s through a 10 MB/s dev tunnel) on
     its first routed batch. TTL-bounded; QUICKED_TPU_PROBE_CACHE=0
@@ -137,7 +138,8 @@ def _probe_cache_get(key: str):
         with open(_probe_cache_path()) as f:
             data = json.load(f)
         ent = data.get(key)
-        if ent and time.time() - ent["ts"] <= _PROBE_TTL_S:
+        if ent and time.time() - ent["ts"] <= (ttl if ttl is not None
+                                               else _PROBE_TTL_S):
             return float(ent["value"])
     except (OSError, ValueError, KeyError):
         pass
@@ -192,13 +194,16 @@ def _device_readback_mbps() -> float:
 
 _DISPATCH_S: list = []
 
-# Measured block-advance throughputs for the small-batch deep-band
-# regime (PERFORMANCE.md): the threaded C wavefront kernel sustains
-# ~1.1e8 block-advances/s/core (4.3e8 on this 4-core host: ONT stage-3
-# 3.2e8 advances in 0.75 s); the carry-scan Mosaic kernel ~5.7e8
-# (36.5 Gcells/s / 64). The rates are close, so the per-call dispatch
-# latency decides the venue: ~1 ms on directly-attached hosts (device
-# wins for big fills), ~0.3-1 s through the dev tunnel (host wins).
+# FALLBACK block-advance throughputs, measured on the round-2 dev host
+# (4-core VM + v5e via the dev tunnel; PERFORMANCE.md): the threaded C
+# wavefront kernel sustains ~1.1e8 block-advances/s/core (4.3e8 on that
+# host: ONT stage-3 3.2e8 advances in 0.75 s); the carry-scan Mosaic
+# kernel ~5.7e8 (36.5 Gcells/s / 64). The rates are close, so the
+# per-call dispatch latency decides the venue: ~1 ms on directly-
+# attached hosts (device wins for big fills), ~0.3-1 s through the dev
+# tunnel (host wins). These constants are used only when the probe
+# cache holds no measured rate AND first-use calibration declines
+# (_kernel_rate below).
 HOST_ADV_PER_S_PER_CORE = 1.1e8
 CSCAN_ADV_PER_S = 5.7e8
 # Systolic deep-band kernel: 2.73e9 block-advances/s measured on v5e
@@ -209,6 +214,147 @@ SYSBAND_ADV_PER_S = 2.73e9
 # lane tiles (0.79 Gbases/s marginal at 13-block bands); scales ~with
 # lane occupancy below one tile.
 PALLAS_ADV_PER_S = 1.0e10
+
+# --- first-use kernel-rate calibration ---------------------------------
+# Kernel rates are host/chip properties that drift only with hardware,
+# so they persist in the probe cache for days (the link/dispatch probes
+# keep their short TTL: tunnel conditions drift by the hour).
+_RATE_TTL_S = 7 * 86400.0
+_RATES: dict = {}           # per-process memo: family -> advances/s
+
+# Calibration geometries (batch size, pair length) chosen so each
+# family routes to itself and the kernel term is big enough to time:
+# a full lane tile for pairs-as-lanes, deep bands for cscan/sysband.
+_CAL_GEOM = {
+    "pallas": (4096, 5_000),
+    "cscan": (4, 64_000),
+    "sysband": (4, 100_000),
+}
+
+
+def _rate_fallback(family: str) -> float:
+    if family == "host":
+        return HOST_ADV_PER_S_PER_CORE * max(os.cpu_count() or 1, 1)
+    return {"cscan": CSCAN_ADV_PER_S, "sysband": SYSBAND_ADV_PER_S,
+            "pallas": PALLAS_ADV_PER_S}[family]
+
+
+def _calibrate_host_rate():
+    """Marginal whole-host C-kernel rate from a two-size timed run
+    (the difference cancels thread-pool spin-up and per-call fixed
+    costs). ~0.3 s once per host, then cached for _RATE_TTL_S."""
+    from quicked_tpu.ops.banded_native import (native_available,
+                                               run_banded_native)
+    if not native_available():
+        return None
+    import time
+
+    from quicked_tpu import generate
+    from quicked_tpu.ops.batch_prep import prepare_banded_batch
+
+    def timed(L):
+        pairs = list(generate.generate_pairs(4, L, error=0.1, seed=5))
+        cos = [max(len(p), len(t)) * 15 // 100 for p, t in pairs]
+        b = prepare_banded_batch([p for p, _ in pairs],
+                                 [t for _, t in pairs], cos, full=False)
+        adv = _deep_band_advances(b)
+        run_banded_native(b)                    # warm pool + page faults
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_banded_native(b)
+            best = min(best, time.perf_counter() - t0)
+        return adv, best
+
+    a1, t1 = timed(12_000)
+    a2, t2 = timed(48_000)
+    if t2 - t1 <= 1e-4 or a2 <= a1:
+        return None
+    return (a2 - a1) / (t2 - t1)
+
+
+def _calibrate_device_rate(family: str):
+    """Time one real batch through the family's kernel and invert the
+    router's own estimate (dispatch + upload + adv/rate = wall) for
+    rate — self-consistent with how the estimate is consumed. Declines
+    (returns None) when dispatch+upload dominate the timed run (dev
+    tunnels): the measurement would be link noise, and the fallback
+    constants were measured exactly there."""
+    import jax
+    if jax.devices()[0].platform != "tpu":
+        return None
+    # Slow links (dev tunnels): the staging term would dominate the
+    # timed run AND the calibration batches themselves cost seconds to
+    # upload — decline before paying that, the fallback constants were
+    # measured on exactly such a host.
+    if _device_readback_mbps() < 500.0:
+        return None
+    import time
+
+    from quicked_tpu import generate
+    from quicked_tpu.ops.batch_prep import prepare_banded_batch
+
+    B, L = _CAL_GEOM[family]
+    pairs = list(generate.generate_pairs(B, L, error=0.1, seed=5))
+    cos = [max(len(p), len(t)) * 15 // 100 for p, t in pairs]
+    batch = prepare_banded_batch([p for p, _ in pairs],
+                                 [t for _, t in pairs], cos, full=False)
+    if family == "pallas":
+        from quicked_tpu.ops.banded_pallas import run_banded_pallas as run
+    elif family == "sysband":
+        from quicked_tpu.ops.banded_sysband_pallas import (
+            run_banded_sysband_pallas as run,
+        )
+    else:
+        from quicked_tpu.ops.banded_cscan_pallas import (
+            run_banded_cscan_pallas as run,
+        )
+    adv = _deep_band_advances(batch)
+    np.asarray(run(batch)["first"])             # compile + warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        np.asarray(run(batch)["first"])         # materialize: honest time
+        best = min(best, time.perf_counter() - t0)
+    bytes_up = (batch.peq_lo.nbytes + batch.peq_hi.nbytes
+                + batch.lm_lo.nbytes + batch.lm_hi.nbytes
+                + batch.text.nbytes)
+    overhead = _device_dispatch_s() + bytes_up / (_device_readback_mbps()
+                                                  * 1e6)
+    kern = best - overhead
+    if kern < 0.3 * best:
+        return None
+    return adv / kern
+
+
+def _kernel_rate(family: str) -> float:
+    """Block-advances/s for a kernel family ('host', 'pallas', 'cscan',
+    'sysband'). Resolution order: process memo -> probe cache (TTL 7
+    days) -> first-use micro-calibration (persisted on success) ->
+    round-2 measured fallback constants. QUICKED_TPU_CALIBRATE=0 skips
+    calibration (cache + fallbacks only)."""
+    if family in _RATES:
+        return _RATES[family]
+    with _PROBE_LOCK:
+        if family in _RATES:
+            return _RATES[family]
+        cached = _probe_cache_get(f"adv_rate_{family}", ttl=_RATE_TTL_S)
+        if cached is not None and cached > 0:
+            _RATES[family] = cached
+            return cached
+        rate = None
+        if os.environ.get("QUICKED_TPU_CALIBRATE", "1") == "1":
+            try:
+                rate = (_calibrate_host_rate() if family == "host"
+                        else _calibrate_device_rate(family))
+            except Exception:
+                rate = None
+        if rate is not None and rate > 0:
+            _probe_cache_put(f"adv_rate_{family}", float(rate))
+        else:
+            rate = _rate_fallback(family)
+        _RATES[family] = float(rate)
+    return _RATES[family]
 
 
 def _device_dispatch_s() -> float:
@@ -252,6 +398,28 @@ def _score_device_est_s(batch, adv: float, kernel_adv_per_s: float) -> float:
             + adv / kernel_adv_per_s)
 
 
+def _prefer_host_deep(batch, sysband: bool) -> bool:
+    """Deep-band venue decision: True when the estimated whole-host C
+    time undercuts dispatch + staging + device kernel time. All three
+    rates come from _kernel_rate (cache -> calibration -> fallback)."""
+    adv = _deep_band_advances(batch)
+    est_host = adv / _kernel_rate("host")
+    est_dev = _score_device_est_s(
+        batch, adv, _kernel_rate("sysband" if sysband else "cscan"))
+    return est_host < est_dev
+
+
+def _prefer_host_shallow(batch, n_live: int) -> bool:
+    """Shallow-band venue decision: lane occupancy scales the
+    pairs-as-lanes kernel rate (a starved VPU loses to the host C
+    kernel, e.g. Hirschberg levels over a handful of pairs)."""
+    adv = _deep_band_advances(batch)
+    est_host = adv / _kernel_rate("host")
+    occ = max(min(n_live / 2048.0, 1.0), 1e-3)
+    est_dev = _score_device_est_s(batch, adv, _kernel_rate("pallas") * occ)
+    return est_host < est_dev
+
+
 def _run_banded_auto(batch):
     """Pick the banded kernel by batch geometry (score-only batches)."""
     if not batch.full:
@@ -283,15 +451,9 @@ def _run_banded_auto(batch):
                 sysband = (SYSBAND_MIN_EBB <= batch.EBB <= SYSBAND_MAX_EBB
                            and os.environ.get("QUICKED_TPU_SYSBAND",
                                               "1") == "1")
-                if _host_ok() and batch.enc_patterns is not None:
-                    adv = _deep_band_advances(batch)
-                    cores = max(os.cpu_count() or 1, 1)
-                    est_host = adv / (HOST_ADV_PER_S_PER_CORE * cores)
-                    est_dev = _score_device_est_s(
-                        batch, adv,
-                        SYSBAND_ADV_PER_S if sysband else CSCAN_ADV_PER_S)
-                    if est_host < est_dev:
-                        return _run_host(batch)
+                if _host_ok() and batch.enc_patterns is not None and \
+                        _prefer_host_deep(batch, sysband):
+                    return _run_host(batch)
                 if sysband:
                     from quicked_tpu.ops.banded_sysband_pallas import (
                         run_banded_sysband_pallas,
@@ -314,16 +476,9 @@ def _run_banded_auto(batch):
                 native_available as _host_ok,
                 run_banded_native as _run_host,
             )
-            if _host_ok() and batch.enc_patterns is not None:
-                n_live = len(batch.enc_patterns)
-                adv = _deep_band_advances(batch)
-                cores = max(os.cpu_count() or 1, 1)
-                est_host = adv / (HOST_ADV_PER_S_PER_CORE * cores)
-                occ = max(min(n_live / 2048.0, 1.0), 1e-3)
-                est_dev = _score_device_est_s(batch, adv,
-                                              PALLAS_ADV_PER_S * occ)
-                if est_host < est_dev:
-                    return _run_host(batch)
+            if _host_ok() and batch.enc_patterns is not None and \
+                    _prefer_host_shallow(batch, len(batch.enc_patterns)):
+                return _run_host(batch)
             from quicked_tpu.ops.banded_pallas import run_banded_pallas
             return run_banded_pallas(batch)
         if batch.EBB >= WAVEFRONT_MIN_EBB and batch.B <= WAVEFRONT_MAX_B:

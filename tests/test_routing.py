@@ -3,7 +3,10 @@ device kernels per batch (aligner/batch.py). The TPU branches are
 exercised on hardware by the bench/verify runs; these tests pin the
 estimate math and the budget-derived native-lane ceiling on CPU."""
 
+import os
+
 import numpy as np
+import pytest
 
 from quicked_tpu import generate
 from quicked_tpu.aligner import batch as ab
@@ -134,6 +137,79 @@ def test_score_device_estimate_uses_real_probes(tmp_path, monkeypatch):
     adv = ab._deep_band_advances(b)
     est = ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S)
     assert est > 0.0 and np.isfinite(est)
+
+
+def test_kernel_rate_resolution_order(tmp_path, monkeypatch):
+    """_kernel_rate: process memo -> probe cache -> calibration ->
+    fallback constants. With calibration off and an empty cache the
+    round-2 measured constants must come back; a cached entry must
+    override them; the memo must serve without re-reading the cache."""
+    monkeypatch.setenv("QUICKED_TPU_CACHE", str(tmp_path))
+    monkeypatch.setenv("QUICKED_TPU_CALIBRATE", "0")
+    monkeypatch.setattr(ab, "_RATES", {})
+    cores = max(os.cpu_count() or 1, 1)
+    assert ab._kernel_rate("host") == ab.HOST_ADV_PER_S_PER_CORE * cores
+    assert ab._kernel_rate("sysband") == ab.SYSBAND_ADV_PER_S
+    assert ab._kernel_rate("cscan") == ab.CSCAN_ADV_PER_S
+    assert ab._kernel_rate("pallas") == ab.PALLAS_ADV_PER_S
+    # a cached rate overrides the fallback (fresh memo = fresh process)
+    monkeypatch.setattr(ab, "_RATES", {})
+    ab._probe_cache_put("adv_rate_host", 123.0)
+    assert ab._kernel_rate("host") == 123.0
+    # the memo serves without re-reading the cache file
+    ab._probe_cache_put("adv_rate_host", 456.0)
+    assert ab._kernel_rate("host") == 123.0
+
+
+def test_fake_rate_cache_entry_flips_venue_decision(tmp_path, monkeypatch):
+    """A fake kernel-rate cache entry flips the venue decision through
+    the REAL _kernel_rate chain (no rate monkeypatching) — proving the
+    router consumes calibration results, not the static constants."""
+    monkeypatch.setenv("QUICKED_TPU_CACHE", str(tmp_path))
+    monkeypatch.setenv("QUICKED_TPU_CALIBRATE", "0")
+    monkeypatch.setattr(ab, "_DISPATCH_S", [0.001])
+    monkeypatch.setattr(ab, "_LINK_MBPS", [10_000.0])
+    b = _batch(n=4, length=30_000)
+    # an implausibly fast host entry routes deep bands to the host
+    monkeypatch.setattr(ab, "_RATES", {})
+    ab._probe_cache_put("adv_rate_host", 1e15)
+    assert ab._prefer_host_deep(b, sysband=True) is True
+    # an implausibly slow one routes them to the device
+    monkeypatch.setattr(ab, "_RATES", {})
+    ab._probe_cache_put("adv_rate_host", 1.0)
+    assert ab._prefer_host_deep(b, sysband=True) is False
+    # same flip for the shallow (pairs-as-lanes) decision
+    monkeypatch.setattr(ab, "_RATES", {})
+    ab._probe_cache_put("adv_rate_host", 1e15)
+    assert ab._prefer_host_shallow(b, n_live=4) is True
+    monkeypatch.setattr(ab, "_RATES", {})
+    ab._probe_cache_put("adv_rate_host", 1.0)
+    assert ab._prefer_host_shallow(b, n_live=4) is False
+
+
+def test_host_calibration_measures_and_persists(tmp_path, monkeypatch):
+    """First-use host calibration runs the real C kernel timing and
+    persists the measured rate with the long TTL."""
+    from quicked_tpu.ops.banded_native import native_available
+    if not native_available():
+        pytest.skip("native lib unavailable")
+    monkeypatch.setenv("QUICKED_TPU_CACHE", str(tmp_path))
+    monkeypatch.setenv("QUICKED_TPU_CALIBRATE", "1")
+    monkeypatch.setattr(ab, "_RATES", {})
+    rate = ab._kernel_rate("host")
+    assert rate > 1e6                       # a real advances/s figure
+    assert rate != ab.HOST_ADV_PER_S_PER_CORE * (os.cpu_count() or 1)
+    assert ab._probe_cache_get("adv_rate_host", ttl=ab._RATE_TTL_S) == rate
+    # the short probe TTL must NOT apply to rates: backdate past the
+    # probe TTL but within the rate TTL and it still serves
+    import json
+    path = ab._probe_cache_path()
+    data = json.load(open(path))
+    data["adv_rate_host"]["ts"] -= ab._PROBE_TTL_S + 10
+    json.dump(data, open(path, "w"))
+    monkeypatch.setattr(ab, "_RATES", {})
+    monkeypatch.setenv("QUICKED_TPU_CALIBRATE", "0")
+    assert ab._kernel_rate("host") == rate
 
 
 def test_mixed_lane_batch_records_one_total_lap(monkeypatch):
