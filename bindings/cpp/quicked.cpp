@@ -16,6 +16,7 @@ std::int64_t qh_align(
     std::int64_t hew_pct0, std::int64_t hew_pct1,
     std::int64_t budget,
     std::int64_t *score_out, char *ops_out, std::int64_t *ops_n_out);
+void qh_set_force_scalar(int v);
 }
 
 namespace quicked {
@@ -61,6 +62,7 @@ void QuickedAligner::align(const std::string &pattern,
                            const std::string &text) {
     std::vector<char> ops(pattern.size() + text.size() + 1);
     std::int64_t score = -1, n = 0;
+    qh_set_force_scalar(force_scalar_ ? 1 : 0);
     const std::int64_t budget = 16LL * 1024 * 1024;  // BUFFER_SIZE_16M
     std::int64_t st = qh_align(
         abi_algo(algo_),

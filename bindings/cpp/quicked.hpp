@@ -69,7 +69,9 @@ public:
     void setBandwidth(unsigned int bandwidth) { bandwidth_ = bandwidth; }
     void setWindowSize(unsigned int ws) { window_size_ = ws; }
     void setOverlapSize(unsigned int ovl) { overlap_size_ = ovl; }
-    void setForceScalar(bool) {}  // no SIMD toggle in the host runtime
+    // Runtime SIMD toggle (reference bpm_banded.c:1049-1059): applied
+    // process-wide at align() time via qh_set_force_scalar.
+    void setForceScalar(bool force_scalar) { force_scalar_ = force_scalar; }
     void setHEWThreshold(unsigned int t) { hew_threshold_[0] = t; hew_threshold_[1] = t; }
     void setHEWPercentage(unsigned int p) { hew_percentage_[0] = p; hew_percentage_[1] = p; }
 
@@ -81,6 +83,7 @@ public:
 private:
     QuickedAlgo algo_ = QUICKED;
     bool only_score_ = false;
+    bool force_scalar_ = false;
     std::int64_t bandwidth_ = 15;
     std::int64_t window_size_ = 9;
     std::int64_t overlap_size_ = 1;

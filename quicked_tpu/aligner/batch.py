@@ -717,6 +717,8 @@ def _finish(status, score, ops, only_score):
 def align_batch_full(pairs, params: QuickedParams | None = None) -> BatchResult:
     """Align a batch of (pattern, text) pairs; returns results in order."""
     params = params or QuickedParams()
+    from quicked_tpu import native
+    native.set_force_scalar(params.force_scalar)
     n = len(pairs)
     statuses: list = [QuickedStatus.QUICKED_OK] * n
     scores = np.full(n, -1, dtype=np.int64)

@@ -228,6 +228,7 @@ def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
     n = len(pairs)
 
     from quicked_tpu import native
+    native.set_force_scalar(params.force_scalar)
     import os as _os
     env = _os.environ.get("QUICKED_TPU_NATIVE_CASCADE_MAX_LEN")
     if env is not None:

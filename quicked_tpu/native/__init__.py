@@ -227,12 +227,41 @@ def _load():
             _i64, _u8p, _i64, _u8p, _i64,
             _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64,
             _i64p, ctypes.c_char_p, _i64p]
+        lib.qh_set_force_scalar.restype = None
+        lib.qh_set_force_scalar.argtypes = [ctypes.c_int]
+        lib.qh_get_force_scalar.restype = ctypes.c_int
+        lib.qh_get_force_scalar.argtypes = []
+        lib.qh_simd_pass_count.restype = _i64
+        lib.qh_simd_pass_count.argtypes = []
         _lib = lib
         return _lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def set_force_scalar(v: bool) -> None:
+    """Runtime SIMD toggle for the banded C kernels (the reference's
+    force_scalar, bpm_banded.c:1049-1059): scalar column loop instead
+    of the 4-column vector pipeline / threaded wavefront. Process-wide;
+    a no-op when the native lib is unavailable (the Python/XLA
+    fallbacks have no SIMD split to force)."""
+    lib = _load()
+    if lib is not None:
+        lib.qh_set_force_scalar(1 if v else 0)
+
+
+def get_force_scalar() -> bool:
+    lib = _load()
+    return bool(lib.qh_get_force_scalar()) if lib is not None else False
+
+
+def simd_pass_count() -> int:
+    """Vector 4-column passes executed so far in this process — the
+    observable that proves force_scalar switched the kernel path."""
+    lib = _load()
+    return int(lib.qh_simd_pass_count()) if lib is not None else 0
 
 
 def _u32arr(a: np.ndarray):

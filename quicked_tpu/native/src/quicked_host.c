@@ -243,6 +243,33 @@ static inline int64_t qh_div_ceil(int64_t a, int64_t b) {
 typedef uint64_t qh_v4u64 __attribute__((vector_size(32)));
 typedef int64_t qh_v4i64 __attribute__((vector_size(32)));
 
+/* Runtime SIMD toggle — the analogue of the reference's force_scalar
+ * (bpm_banded.c:1049-1059 picks the scalar compute function over the
+ * AVX one at align time). When set, banded fills take the scalar
+ * column loop instead of the 4-column vector pipeline AND the threaded
+ * wavefront built on it (its strips run the same vector kernel).
+ * Process-global (set once before aligning, vs the reference's
+ * per-aligner field); relaxed atomics so concurrent fills read safely. */
+static int qh_force_scalar = 0;
+
+void qh_set_force_scalar(int v) {
+    __atomic_store_n(&qh_force_scalar, v ? 1 : 0, __ATOMIC_RELAXED);
+}
+
+int qh_get_force_scalar(void) {
+    return __atomic_load_n(&qh_force_scalar, __ATOMIC_RELAXED);
+}
+
+/* Diagnostic counter: vector 4-column passes executed. Lets tests (and
+ * the CLI's profile output) PROVE the toggle changed the kernel path
+ * instead of inferring it from timing. One relaxed add per 4 columns
+ * is noise next to the (band-depth x 20)-op pass body. */
+static int64_t qh_simd_passes = 0;
+
+int64_t qh_simd_pass_count(void) {
+    return __atomic_load_n(&qh_simd_passes, __ATOMIC_RELAXED);
+}
+
 /*
  * Anti-diagonal 4-column pipeline over the live band: lane j advances
  * column c+j at block first + t - j during wavefront step t, so the
@@ -261,6 +288,7 @@ static inline void qh_banded_cols4_c(
     int64_t first, int64_t last, int64_t pos_v, int64_t prolog,
     const uint8_t *cin_p, const uint8_t *cin_m,
     uint8_t *cout_p, uint8_t *cout_m) {
+    __atomic_fetch_add(&qh_simd_passes, 1, __ATOMIC_RELAXED);
     const int c0 = text_enc[t0], c1 = text_enc[t0 + 1];
     const int c2 = text_enc[t0 + 2], c3 = text_enc[t0 + 3];
     const int cols[4] = {c0, c1, c2, c3};
@@ -562,11 +590,12 @@ static int64_t qh_banded_score_n(
 
     const uint64_t lm_last_w = mod ? (1ULL << (mod - 1)) : 0;
     int64_t text_block = text_finish / QH_W;
+    const int fsc = qh_get_force_scalar();
     int Tmt = (int)(n_threads > QH_BMT_MAX ? QH_BMT_MAX : n_threads);
     /* never oversubscribe: the wavefront needs every strip runnable */
     long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
     if (ncpu > 0 && Tmt > ncpu) Tmt = (int)ncpu;
-    if (Tmt > 1 && text_block >= 8 && last - first + 1 >= 48) {
+    if (Tmt > 1 && !fsc && text_block >= 8 && last - first + 1 >= 48) {
         /* threaded wavefront over full 64-column blocks */
         qh_bmt_t *bc = (qh_bmt_t *)calloc(1, sizeof(qh_bmt_t));
         if (bc) {
@@ -633,7 +662,7 @@ static int64_t qh_banded_score_n(
     for (int64_t k = 0; k <= text_block; k++) {
         int64_t t_end = (k < text_block) ? (k + 1) * QH_W : text_finish;
         int64_t t = k * QH_W;
-        if (t_end - t == QH_W && last - first >= 5) {
+        if (t_end - t == QH_W && last - first >= 5 && !fsc) {
             /* SIMD anti-diagonal pipeline, 4 columns per pass */
             for (; t < t_end; t += 4)
                 qh_banded_cols4(peq, nw, lm_last_w, mod, text_enc, t,

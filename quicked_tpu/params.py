@@ -94,8 +94,10 @@ class QuickedParams:
 
     Defaults follow `quicked_default_params` (quicked.c:308-321).
 
-    `force_scalar` is accepted for API parity; on TPU there is a single
-    (vectorised) kernel implementation, so it has no effect.
+    `force_scalar` switches the host C banded kernels to their scalar
+    column loop (the reference's runtime SIMD toggle,
+    bpm_banded.c:1049-1059); the TPU kernels have a single vectorised
+    implementation, so it only affects work routed to the host.
     """
 
     algo: QuickedAlgo = QuickedAlgo.QUICKED
