@@ -193,7 +193,24 @@ def _device_healthy(timeout_s: float = 150.0, attempts: int = 2) -> bool:
     return False
 
 
-def main():
+def _workload_rows():
+    """End-to-end BASELINE workload rows (benchmarks/run_workloads.py),
+    run IN THIS PROCESS (one TPU client at a time — a second axon
+    process would contend for the tunnel). Failures yield error rows:
+    a routing regression must surface in the artifact, not blank it."""
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
+    import run_workloads
+
+    rows = []
+    for w in (1, 2, 3, 4, 5):
+        try:
+            rows.append(run_workloads.run_workload(w))
+        except Exception as e:
+            rows.append({"workload": str(w), "error": repr(e)[:200]})
+    return rows
+
+
+def main(workload_lines: bool = False):
     from quicked_tpu import generate
 
     platform = None
@@ -223,8 +240,18 @@ def main():
     }
     if platform:
         out["platform_fallback"] = platform
+    # End-to-end workload rows ride the same single JSON line (the
+    # driver contract) unless disabled; --workloads prints them as
+    # separate lines instead for human sweeps.
+    if os.environ.get("QUICKED_TPU_BENCH_WORKLOADS", "1") == "1":
+        rows = _workload_rows()
+        if workload_lines:
+            for r in rows:
+                print(json.dumps(r), flush=True)
+        else:
+            out["workloads"] = rows
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    main(workload_lines="--workloads" in sys.argv[1:])

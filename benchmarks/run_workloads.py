@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """BASELINE.md workload benchmarks (the five north-star configs).
 
-Each workload prints one JSON line with TPU throughput and, when the
-compiled C reference is available, the CPU single-thread comparison on
-the same dataset.
+Each workload yields one JSON row with cold + warm wall time, the
+venues the router picked (aligner/batch.VENUE_COUNTS diff), and — when
+the compiled C reference is available — the CPU single-thread
+comparison on the same dataset.
 
   1 single     — one short pair, score+CIGAR latency
   2 ont        — the bundled ONT MinION pair (>=500 kbp), quicked
@@ -13,6 +14,8 @@ the same dataset.
                  runs shard this by process)
 
 Usage: python benchmarks/run_workloads.py [--workload N] [--scale F]
+`bench.py` imports run_workload() to embed the same rows in the round
+BENCH artifact.
 """
 
 import argparse
@@ -59,66 +62,77 @@ def _run_quicked(pairs):
     return dt, n_ok
 
 
-def _report(name, pairs, dt, cpu_dt, extra=None):
+def _timed(name, pairs, warm_pairs=None, with_cpu=True):
+    """Cold call, warm call, venue diff, optional C-reference run —
+    the standard row for every workload."""
+    from quicked_tpu.aligner import batch as ab
+
+    before = ab.venue_snapshot()
+    if warm_pairs is not None:
+        _run_quicked(warm_pairs)      # pre-compile the bucket shapes
+    t_cold, n_ok = _run_quicked(pairs)   # first full-size call
+    warm, _ = _run_quicked(pairs)
+    after = ab.venue_snapshot()
+    venues = {k: after[k] - before.get(k, 0) for k in after
+              if after[k] != before.get(k, 0)}
     bases = sum(max(len(p), len(t)) for p, t in pairs)
-    out = {
+    row = {
         "workload": name,
         "pairs": len(pairs),
         "bases": bases,
-        "tpu_s": round(dt, 3),
-        "pairs_per_s": round(len(pairs) / dt, 2),
-        "bases_per_s": round(bases / dt, 1),
+        "cold_s": round(t_cold, 3),
+        "warm_s": round(warm, 3),
+        "pairs_per_s": round(len(pairs) / warm, 2),
+        "bases_per_s": round(bases / warm, 1),
+        "ok": n_ok,
+        "venues": venues,
     }
-    if cpu_dt:
-        out["cpu_s"] = round(cpu_dt, 3)
-        out["speedup_vs_cpu"] = round(cpu_dt / dt, 2)
-    if extra:
-        out.update(extra)
-    print(json.dumps(out))
+    if with_cpu:
+        try:
+            cpu_dt = _cpu_time(pairs)
+        except Exception as e:          # oracle trouble must not kill rows
+            cpu_dt = None
+            row["cpu_error"] = str(e)[:120]
+        if cpu_dt:
+            row["cpu_s"] = round(cpu_dt, 3)
+            row["speedup_vs_cpu"] = round(cpu_dt / warm, 2)
+    return row
 
 
-def w1_single():
+def w1_single(scale=1.0):
     from quicked_tpu import generate
 
     pairs = list(generate.generate_pairs(1, 300, error=0.05, seed=1))
-    _run_quicked(pairs)            # warm
-    dt, _ = _run_quicked(pairs)
-    _report("1-single-pair", pairs, dt, _cpu_time(pairs))
+    return _timed("1-single-pair", pairs)
 
 
-def w2_ont():
+def w2_ont(scale=1.0):
     from quicked_tpu import seqio
 
     if not os.path.exists(ONT):
-        print(json.dumps({"workload": "2-ont", "skipped": "no data"}))
-        return
+        return {"workload": "2-ont-minion", "skipped": "no data"}
     pairs = list(seqio.read_seq_pairs(ONT))
-    _run_quicked(pairs)            # warm (compiles; PERFORMANCE.md
-    dt, _ = _run_quicked(pairs)    # methodology reports warm numbers)
-    _report("2-ont-minion", pairs, dt, _cpu_time(pairs))
+    return _timed("2-ont-minion", pairs)
 
 
-def w3_short(scale):
+def w3_short(scale=1.0):
     from quicked_tpu import generate
 
     n = int(100_000 * scale)
     pairs = list(generate.generate_pairs(n, 100, error=0.02, seed=3))
-    _run_quicked(pairs[:min(n, 1024)])   # warm the bucket compiles
-    dt, _ = _run_quicked(pairs)
-    _report("3-short-100bp", pairs, dt, _cpu_time(pairs))
+    return _timed("3-short-100bp", pairs,
+                  warm_pairs=pairs[:min(n, 1024)])
 
 
-def w4_long(scale):
+def w4_long(scale=1.0):
     from quicked_tpu import generate
 
     n = max(int(16 * scale), 2)
     pairs = list(generate.generate_pairs(n, 30_000, error=0.10, seed=4))
-    _run_quicked(pairs)            # warm
-    dt, _ = _run_quicked(pairs)
-    _report("4-long-30kbp", pairs, dt, _cpu_time(pairs))
+    return _timed("4-long-30kbp", pairs)
 
 
-def w5_mixed(scale):
+def w5_mixed(scale=1.0):
     from quicked_tpu import generate
 
     rngs = [(int(2000 * scale), 150, 0.03), (int(500 * scale), 1000, 0.08),
@@ -127,9 +141,16 @@ def w5_mixed(scale):
     for i, (n, L, e) in enumerate(rngs):
         pairs += list(generate.generate_pairs(max(n, 1), L, error=e,
                                               seed=50 + i))
-    _run_quicked(pairs)            # warm
-    dt, _ = _run_quicked(pairs)
-    _report("5-mixed-stream", pairs, dt, _cpu_time(pairs))
+    return _timed("5-mixed-stream", pairs)
+
+
+WORKLOADS = {1: w1_single, 2: w2_ont, 3: w3_short, 4: w4_long,
+             5: w5_mixed}
+
+
+def run_workload(n: int, scale: float = 1.0) -> dict:
+    """One BASELINE workload -> its JSON row (bench.py entry point)."""
+    return WORKLOADS[n](scale)
 
 
 def main():
@@ -152,13 +173,9 @@ def main():
     from quicked_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
-    runs = {1: w1_single, 2: w2_ont,
-            3: lambda: w3_short(args.scale),
-            4: lambda: w4_long(args.scale),
-            5: lambda: w5_mixed(args.scale)}
     todo = [args.workload] if args.workload else [1, 2, 3, 4, 5]
     for w in todo:
-        runs[w]()
+        print(json.dumps(run_workload(w, args.scale)), flush=True)
 
 
 if __name__ == "__main__":

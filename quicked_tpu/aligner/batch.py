@@ -420,8 +420,36 @@ def _prefer_host_shallow(batch, n_live: int) -> bool:
     return est_host < est_dev
 
 
+# Venue observability: batches routed per kernel family since process
+# start (reset-free; consumers snapshot and diff). The workload bench
+# records these per run so BENCH artifacts show WHERE work executed —
+# a silent routing regression (e.g. the round-2 probe crash) is then
+# visible as a venue shift, not just a timing blip.
+VENUE_COUNTS: dict = {}
+
+# Active device mesh (parallel.mesh.use_mesh): when set, every batched
+# banded kernel call in the engine — cascade score passes, Hirschberg
+# levels, full fills — executes sharded over it instead of single-
+# device. This is the single-process multi-chip execution mode; the
+# multi-HOST mode (parallel/distributed.py) shards the input stream
+# instead.
+ACTIVE_MESH = None
+
+
+def _venue(name: str) -> None:
+    VENUE_COUNTS[name] = VENUE_COUNTS.get(name, 0) + 1
+
+
+def venue_snapshot() -> dict:
+    return dict(VENUE_COUNTS)
+
+
 def _run_banded_auto(batch):
     """Pick the banded kernel by batch geometry (score-only batches)."""
+    if ACTIVE_MESH is not None:
+        from quicked_tpu.parallel.mesh import run_banded_sharded
+        _venue("mesh_banded")
+        return run_banded_sharded(batch, ACTIVE_MESH)
     if not batch.full:
         import jax
 
@@ -432,6 +460,7 @@ def _run_banded_auto(batch):
             from quicked_tpu.ops.banded_native import (native_available,
                                                        run_banded_native)
             if native_available() and batch.enc_patterns is not None:
+                _venue("host_c")
                 return run_banded_native(batch)
         if platform == "tpu":
             deep = batch.EBB > PALLAS_MAX_EBB or \
@@ -453,20 +482,24 @@ def _run_banded_auto(batch):
                                               "1") == "1")
                 if _host_ok() and batch.enc_patterns is not None and \
                         _prefer_host_deep(batch, sysband):
+                    _venue("host_c")
                     return _run_host(batch)
                 if sysband:
                     from quicked_tpu.ops.banded_sysband_pallas import (
                         run_banded_sysband_pallas,
                     )
+                    _venue("sysband")
                     return run_banded_sysband_pallas(batch)
                 from quicked_tpu.ops.banded_cscan_pallas import (
                     run_banded_cscan_pallas,
                 )
+                _venue("cscan")
                 return run_banded_cscan_pallas(batch)
             if deep:
                 from quicked_tpu.ops.banded_wavefront_jax import (
                     run_banded_wavefront,
                 )
+                _venue("wavefront_xla")
                 return run_banded_wavefront(batch)
             # Shallow bands: pairs-as-lanes device kernel, unless lane
             # occupancy is so low that dispatch latency + a starved VPU
@@ -478,12 +511,16 @@ def _run_banded_auto(batch):
             )
             if _host_ok() and batch.enc_patterns is not None and \
                     _prefer_host_shallow(batch, len(batch.enc_patterns)):
+                _venue("host_c")
                 return _run_host(batch)
             from quicked_tpu.ops.banded_pallas import run_banded_pallas
+            _venue("pallas")
             return run_banded_pallas(batch)
         if batch.EBB >= WAVEFRONT_MIN_EBB and batch.B <= WAVEFRONT_MAX_B:
             from quicked_tpu.ops.banded_wavefront_jax import run_banded_wavefront
+            _venue("wavefront_xla")
             return run_banded_wavefront(batch)
+    _venue("xla_scan")
     return run_banded(batch)
 
 
@@ -551,15 +588,17 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
         # way. Platform check first: importing the pallas module costs
         # >1 s, which CPU-only hosts should never pay.
         env = os.environ.get("QUICKED_TPU_FULL_DEVICE")
-        if jax.devices()[0].platform == "tpu" and native_available() and \
-                env != "0":
+        if ACTIVE_MESH is None and \
+                jax.devices()[0].platform == "tpu" and native_available() \
+                and env != "0":
             from quicked_tpu.ops.banded_pallas import pallas_available
             device_full = pallas_available() and (
                 env == "1"
                 or _device_readback_mbps() >= FULL_DEVICE_MIN_MBPS)
-        if not device_full and native_available():
+        if not device_full and native_available() and ACTIVE_MESH is None:
             # no accelerator: the per-pair C fill+traceback is the
             # fastest host path
+            _venue("full_host_c")
             return run_banded_full_native(patterns, texts, cutoffs)
     scores = np.zeros(n, dtype=np.int64)
     ops_out: list = [None] * n
@@ -591,6 +630,7 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                 # budget the chunking enforces — the per-pair host C
                 # fill+traceback is the right venue (device_full implies
                 # native_available()).
+                _venue("full_host_c")
                 sc_nat, ops_nat = run_banded_full_native(
                     [patterns[i] for i in idxs],
                     [texts[i] for i in idxs],
@@ -605,11 +645,16 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             txts = [texts[i] for i in sub]
             cos = [cutoffs[i] for i in sub]
             b_pad = _lane_pad(len(sub), ebb_p2, min_lanes)
+            if not only_score:
+                from quicked_tpu.utils import memreport
+                memreport.record("FullFill.Planes",
+                                 nb_p2 * W * ebb_p2 * 16 * b_pad)
             batch = prepare_banded_batch(
                 pats, txts, cos, full=not only_score,
                 pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
             if device_full:
                 from quicked_tpu.ops.banded_pallas import run_banded_pallas
+                _venue("full_pallas")
                 out = run_banded_pallas(batch)
             else:
                 out = _run_banded_auto(batch)
@@ -681,6 +726,12 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
         batch = prepare_banded_batch(
             pats, txts, cos, full=False, text_finish=fins,
             pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
+        from quicked_tpu.utils import memreport
+        # the per-level band-plane readback the Hirschberg driver pays
+        # (4 u32 planes x EBB x lanes) — the dominant transfer cost of
+        # deep-band levels, made visible here
+        memreport.record("Hirschberg.LevelPlanes",
+                         batch.EBB * batch.B * 16)
         out = _run_banded_auto(batch)
         final_scores = extract_final_scores(batch, out["scores_by_k"])
         # one vectorised 64-bit reassembly + transpose for the batch;

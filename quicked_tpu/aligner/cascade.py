@@ -103,10 +103,12 @@ def windowed_score_batch(patterns, texts, hew_threshold: int,
     import jax
 
     from quicked_tpu import native
+    from quicked_tpu.aligner import batch as ab
 
     n = len(patterns)
     platform = jax.devices()[0].platform
-    use_native = native.available() and window_size <= 16
+    mesh = ab.ACTIVE_MESH
+    use_native = mesh is None and native.available() and window_size <= 16
     if use_native and platform == "cpu":
         return _windowed_native_batch(patterns, texts, hew_threshold,
                                       window_size, overlap_size)
@@ -125,12 +127,21 @@ def windowed_score_batch(patterns, texts, hew_threshold: int,
                                             window_size, overlap_size)
         else:
             b_pad = max(_next_pow2(len(idxs)), min_lanes)
+            if mesh is not None:        # lanes must divide the mesh
+                nd = mesh.devices.size
+                b_pad = ((b_pad + nd - 1) // nd) * nd
             batch = prepare_windowed_batch(
                 pats, txts, window_size=window_size, pad_to_b=b_pad,
                 min_t=size, min_p=size, min_kp=size // W + 1)
-            sc, hw = run_windowed_score(batch, hew_threshold, window_size,
-                                        overlap_size,
-                                        device=_windowed_device(size))
+            if mesh is not None:
+                from quicked_tpu.parallel.mesh import run_windowed_sharded
+                sc, hw = run_windowed_sharded(batch, hew_threshold,
+                                              window_size, overlap_size,
+                                              mesh)
+            else:
+                sc, hw = run_windowed_score(batch, hew_threshold,
+                                            window_size, overlap_size,
+                                            device=_windowed_device(size))
         for j, i in enumerate(idxs):
             scores[i] = sc[j]
             hews[i] = hw[j]
@@ -237,7 +248,11 @@ def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
         fast_max = NATIVE_CASCADE_MAX_LEN
     else:
         fast_max = _native_fast_max(params.bandwidth)
-    if native.available() and params.window_size <= 16:
+    from quicked_tpu.aligner import batch as _ab
+    if _ab.ACTIVE_MESH is not None:
+        # meshed execution: everything through the sharded device lane
+        fast = []
+    elif native.available() and params.window_size <= 16:
         import jax
         if jax.devices()[0].platform == "cpu":
             fast = list(range(n))
@@ -271,6 +286,8 @@ def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
     scores = np.full(n, -1, dtype=np.int64)
     cigars: list = [None] * n
 
+    from quicked_tpu.aligner.batch import _venue
+    _venue("cascade_native")
     st, sc, rles = native.quicked_batch(
         [pairs[i][0] for i in fast], [pairs[i][1] for i in fast],
         bandwidth=params.bandwidth, window_size=params.window_size,

@@ -23,6 +23,26 @@ from quicked_tpu.ops.batch_prep import BandedBatch
 from quicked_tpu.ops.windowed_jax import WindowedBatch, windowed_scan_impl
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh):
+    """Single-process multi-chip execution of the FULL pipeline: every
+    batched kernel call issued inside the context — cascade windowed
+    bounds, banded score passes, Hirschberg levels, full fills — runs
+    sharded over `mesh` (lane-axis data parallelism, bit-exact with
+    single-device execution). Host-native shortcuts are disabled inside
+    the context so the work actually exercises the mesh."""
+    from quicked_tpu.aligner import batch as ab
+    prev = ab.ACTIVE_MESH
+    ab.ACTIVE_MESH = mesh
+    try:
+        yield mesh
+    finally:
+        ab.ACTIVE_MESH = prev
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """A 1-D data mesh over the first n devices (default: all)."""
     if devices is None:

@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "'tpu' maps to the axon plugin when present")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace into DIR")
+    p.add_argument("--memory-report", action="store_true",
+                   help="print the engine memory report (budgets, plane"
+                        " allocations, host RSS, device stats) after the"
+                        " run — the mm_allocator occupancy analogue")
     return p
 
 
@@ -349,6 +353,9 @@ def _run_batch(args, params, timers, pairs, out_file, output_full, stats,
 
 def _print_results(args, timers, timer_global, stats, n):
     err = sys.stderr
+    if getattr(args, "memory_report", False):
+        from quicked_tpu.utils import memreport
+        memreport.print_report(err)
     print("[Benchmark]", file=err)
     print(f"=> Total.reads              {n}", file=err)
     err.write("=> Time.Benchmark        ")

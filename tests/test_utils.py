@@ -148,3 +148,49 @@ def test_counter_add_repeat_matches_loop():
     assert a.mean() == b.mean() and a.stddev() == b.stddev()
     assert (a.total, a.samples, a.min, a.max) == \
         (b.total, b.samples, b.min, b.max)
+
+
+def test_memreport_records_and_reports():
+    """utils.memreport — the mm_allocator occupancy analogue
+    (mm_allocator.c:573-604): engine allocations are recorded, budgets
+    and host RSS surface in the report, and the printed block renders."""
+    import io
+
+    from quicked_tpu.utils import memreport
+
+    memreport.reset()
+    memreport.record("FullFill.Planes", 1 << 20)
+    memreport.record("FullFill.Planes", 1 << 22)
+    rep = memreport.memory_report()
+    st = rep["recorded"]["FullFill.Planes"]
+    assert st["count"] == 2
+    assert st["bytes"] == (1 << 20) + (1 << 22)
+    assert st["peak"] == 1 << 22
+    assert rep["budgets"]["full_fill_bytes_budget"] > 0
+    assert rep["host"].get("vmrss", 0) > 0
+    buf = io.StringIO()
+    memreport.print_report(buf)
+    out = buf.getvalue()
+    assert "[Memory]" in out and "FullFill.Planes" in out
+    memreport.reset()
+
+
+def test_memreport_captures_engine_full_fill():
+    """A real full-alignment batch records its traceback-plane bytes."""
+    from quicked_tpu import generate
+    from quicked_tpu.aligner.batch import banded_align_batch
+    from quicked_tpu.utils import memreport
+
+    memreport.reset()
+    pairs = list(generate.generate_pairs(4, 200, error=0.1, seed=3))
+    cutoffs = [max(len(p), len(t)) * 20 // 100 for p, t in pairs]
+    sc, ops = banded_align_batch([p for p, _ in pairs],
+                                 [t for _, t in pairs], cutoffs,
+                                 only_score=False)
+    assert all(o for o in ops)
+    rep = memreport.memory_report()
+    # CPU platform: fills may take the per-pair native path (no plane
+    # allocation) — force the staged path check only when recorded
+    if "FullFill.Planes" in rep["recorded"]:
+        assert rep["recorded"]["FullFill.Planes"]["bytes"] > 0
+    memreport.reset()
