@@ -526,23 +526,17 @@ def _run_banded_auto(batch):
 
 def _traceback_tiled(mats_tiled, lanes, batch, sub, patterns, texts):
     """Host traceback over the Pallas full kernel's lane-tiled
-    (P, T, EBB8, LANES) planes, threaded across pairs."""
+    (P, T, EBB8, LANES) planes: one native call for the whole batch
+    (pthread pool inside). The earlier per-pair ctypes dispatch cost
+    ~60 us/pair under the GIL and capped the device full-fill lane at
+    ~17k pairs/s on short reads (PERFORMANCE.md workload-3)."""
     from quicked_tpu import native
-    from quicked_tpu.utils.host_threads import map_lanes
 
-    pv_lo_t, pv_hi_t, mv_lo_t, mv_hi_t = mats_tiled
-    ops: list = [None] * len(sub)
     praws = [_raw_bytes(patterns[i]).tobytes() for i in sub]
     traws = [_raw_bytes(texts[i]).tobytes() for i in sub]
-
-    def one(j):
-        p, r = j // lanes, j % lanes
-        ops[j] = native.traceback_banded(
-            pv_lo_t[p], pv_hi_t[p], mv_lo_t[p], mv_hi_t[p],
-            r, praws[j], traws[j], int(batch.prolog[j]))
-
-    map_lanes(one, len(sub))
-    return ops
+    return native.traceback_banded_batch(
+        mats_tiled, lanes, praws, traws,
+        [int(batch.prolog[j]) for j in range(len(sub))])
 
 
 def _lane_pad(n_live: int, ebb_p2: int, min_lanes: int) -> int:

@@ -227,6 +227,11 @@ def _load():
             _i64, _u8p, _i64, _u8p, _i64,
             _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64, _i64,
             _i64p, ctypes.c_char_p, _i64p]
+        lib.qh_traceback_banded_batch.restype = _i64
+        lib.qh_traceback_banded_batch.argtypes = [
+            _u32p, _u32p, _u32p, _u32p, _i64, _i64, _i64,
+            _u8p, _i64p, _i64p, _u8p, _i64p, _i64p,
+            _i64p, _i64, ctypes.c_char_p, _i64p, _i64p, _i64]
         lib.qh_set_force_scalar.restype = None
         lib.qh_set_force_scalar.argtypes = [ctypes.c_int]
         lib.qh_get_force_scalar.restype = ctypes.c_int
@@ -288,6 +293,54 @@ def traceback_banded(mat_pv_lo, mat_pv_hi, mat_mv_lo, mat_mv_hi,
         _u8bytes(pattern_raw), plen, _u8bytes(text_raw), tlen,
         prolog, out)
     return out.raw[:n].decode("ascii")
+
+
+def traceback_banded_batch(mats_tiled, lanes: int, praws: list,
+                           traws: list, prologs) -> list:
+    """Traceback EVERY pair of a lane-tiled plane set in one native
+    call (pthread pool inside): pair i walks tile i//lanes, lane
+    i%lanes. praws/traws are per-pair raw byte strings; returns op
+    strings in order. ~60 us/pair of ctypes marshalling under the GIL
+    made the per-pair entry the device full-fill lane's bottleneck."""
+    lib = _load()
+    pv_lo, pv_hi, mv_lo, mv_hi = mats_tiled
+    P, T, ebb, nlanes = pv_lo.shape
+    assert nlanes == lanes
+    n = len(praws)
+    pat_len = np.fromiter((len(p) for p in praws), np.int64, n)
+    txt_len = np.fromiter((len(t) for t in traws), np.int64, n)
+    pat_off = np.zeros(n, np.int64)
+    np.cumsum(pat_len[:-1], out=pat_off[1:])
+    txt_off = np.zeros(n, np.int64)
+    np.cumsum(txt_len[:-1], out=txt_off[1:])
+    caps = pat_len + txt_len
+    ops_off = np.zeros(n, np.int64)
+    np.cumsum(caps[:-1], out=ops_off[1:])
+    pat_blob = b"".join(praws)
+    txt_blob = b"".join(traws)
+    ops_blob = ctypes.create_string_buffer(int(caps.sum()) + 1)
+    ops_len = np.zeros(n, np.int64)
+    prolog_arr = np.asarray(prologs, dtype=np.int64)
+
+    def i64p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    _ensure_prefault()
+    planes = [np.ascontiguousarray(a).reshape(P * T, ebb, nlanes)
+              for a in (pv_lo, pv_hi, mv_lo, mv_hi)]
+    rc = lib.qh_traceback_banded_batch(
+        _u32arr(planes[0][0]), _u32arr(planes[1][0]),
+        _u32arr(planes[2][0]), _u32arr(planes[3][0]),
+        T * ebb * nlanes, ebb, nlanes,
+        _u8bytes(pat_blob), i64p(pat_off), i64p(pat_len),
+        _u8bytes(txt_blob), i64p(txt_off), i64p(txt_len),
+        i64p(prolog_arr), n,
+        ops_blob, i64p(ops_off), i64p(ops_len),
+        default_threads())
+    assert rc == 0, rc
+    raw = ops_blob.raw
+    return [raw[int(ops_off[i]):int(ops_off[i]) + int(ops_len[i])]
+            .decode("ascii") for i in range(n)]
 
 
 def cigar_score_edit(ops: str) -> int:

@@ -123,6 +123,79 @@ int64_t qh_traceback_banded(
     return n;
 }
 
+/*
+ * Batched banded traceback over the device kernels' lane-tiled planes
+ * (P, T, EBB, LANES): pair i walks tile i/LANES, lane i%LANES. One
+ * call for the whole batch with a pthread pool inside — the per-pair
+ * ctypes dispatch (~60 us/pair: argument marshalling + buffer setup
+ * under the GIL) dominated the device full-fill lane's host stage at
+ * short read lengths (PERFORMANCE.md workload-3 device lane).
+ *
+ * Sequences arrive as concatenated blobs with offset/length arrays;
+ * ops_out regions are pre-sized plen+tlen per pair (the walk fills
+ * backwards then memmoves to the region front, like the single-lane
+ * entry). Returns 0, or -1 on a malformed geometry.
+ */
+typedef struct {
+    const uint32_t *pv_lo, *pv_hi, *mv_lo, *mv_hi;
+    int64_t tile_stride;   /* T * ebb * lanes u32 words per tile */
+    int64_t ebb, lanes;
+    const uint8_t *pat_blob; const int64_t *pat_off; const int64_t *pat_len;
+    const uint8_t *txt_blob; const int64_t *txt_off; const int64_t *txt_len;
+    const int64_t *prolog;
+    char *ops_blob; const int64_t *ops_off;
+    int64_t *ops_len;
+    int64_t n;
+    int64_t next;
+} qh_tbb_t;
+
+static void *qh_tbb_thread(void *arg) {
+    qh_tbb_t *c = (qh_tbb_t *)arg;
+    for (;;) {
+        int64_t i = __atomic_fetch_add(&c->next, 1, __ATOMIC_RELAXED);
+        if (i >= c->n) break;
+        const int64_t off = (i / c->lanes) * c->tile_stride;
+        c->ops_len[i] = qh_traceback_banded(
+            c->pv_lo + off, c->pv_hi + off, c->mv_lo + off, c->mv_hi + off,
+            c->ebb, c->lanes, i % c->lanes,
+            c->pat_blob + c->pat_off[i], c->pat_len[i],
+            c->txt_blob + c->txt_off[i], c->txt_len[i],
+            c->prolog[i], c->ops_blob + c->ops_off[i]);
+    }
+    return NULL;
+}
+
+#define QH_TBB_MAX 16
+
+int64_t qh_traceback_banded_batch(
+    const uint32_t *pv_lo, const uint32_t *pv_hi,
+    const uint32_t *mv_lo, const uint32_t *mv_hi,
+    int64_t tile_stride, int64_t ebb, int64_t lanes,
+    const uint8_t *pat_blob, const int64_t *pat_off, const int64_t *pat_len,
+    const uint8_t *txt_blob, const int64_t *txt_off, const int64_t *txt_len,
+    const int64_t *prolog, int64_t n,
+    char *ops_blob, const int64_t *ops_off, int64_t *ops_len_out,
+    int64_t n_threads) {
+    if (ebb < 1 || lanes < 1 || n < 0) return -1;
+    qh_tbb_t c = {pv_lo, pv_hi, mv_lo, mv_hi, tile_stride, ebb, lanes,
+                  pat_blob, pat_off, pat_len, txt_blob, txt_off, txt_len,
+                  prolog, ops_blob, ops_off, ops_len_out, n, 0};
+    int T = (int)(n_threads > QH_TBB_MAX ? QH_TBB_MAX : n_threads);
+    if (T < 1) T = 1;
+    if ((int64_t)T > n) T = (int)(n > 0 ? n : 1);
+    pthread_t tids[QH_TBB_MAX];
+    int spawned = 0;
+    for (int s = 1; s < T; s++) {
+        if (pthread_create(&tids[s], NULL, qh_tbb_thread, &c) != 0)
+            break;
+        spawned++;
+    }
+    qh_tbb_thread(&c);
+    for (int s = 1; s <= spawned; s++)
+        pthread_join(tids[s], NULL);
+    return 0;
+}
+
 /* ------------------------------------------------------------- CIGAR */
 
 int64_t qh_cigar_score_edit(const char *ops, int64_t n) {

@@ -50,7 +50,6 @@ CH = 8        # snapshot chunk: columns per output DMA (full variant)
 U32 = jnp.uint32
 I32 = jnp.int32
 LANES = 1024       # score-variant pairs per tile
-LANES_FULL = 256       # full-variant pairs per tile (upper bound)
 LANES_FULL_MIN = 128   # Mosaic lane-dim floor (last dim 128-divisible)
 ALPH = 8      # alphabet axis padded 5 -> 8 (Mosaic sublane tiling)
 
@@ -384,6 +383,32 @@ def score_lanes(EBB8: int, NB: int) -> int:
     return 128
 
 
+def full_lanes(EBB8: int, NB: int) -> int:
+    """Widest lane tile whose VMEM footprint fits the FULL kernel.
+
+    The full variant adds the double-buffered snapshot staging rows
+    (2 slots x CH columns x EBB8 x 4 planes) on top of the score
+    kernel's footprint; the traceback planes themselves live in HBM
+    (ANY memory space) and don't count. Short-read batches (EBB8=8)
+    fit 2048 lanes — measured 8x the old fixed 256-lane tile's
+    throughput (the VPU was starved at 256): see PERFORMANCE.md
+    workload-3 device lane."""
+    scratch_rows = ((EBB8 + 8) * 18      # peq windows (2x8) + lm (2x1)
+                    + EBB8 * 4           # pv/mv band state
+                    + (EBB8 + 1) + 2     # scw + first/last
+                    + 2 * CH * EBB8 * 4)  # snapshot slots
+    block_rows = (64                     # text
+                  + (EBB8 + 1)           # init_scores
+                  + 8                    # lane-vector consts
+                  + (NB + EBB8 + 1)      # scores out
+                  + EBB8 * 4 + 2)        # pv/mv out + first/last out
+    rows = scratch_rows + 2 * block_rows
+    for lanes in (2048, 1024, 512, 256):
+        if rows * 4 * lanes <= VMEM_BUDGET:
+            return lanes
+    return LANES_FULL_MIN
+
+
 def stage_batch(batch: BandedBatch, lanes: int | None = None):
     """Host prep + device transfer for the Pallas kernel: returns
     (device_args dict, statics dict). Staging once lets callers time or
@@ -397,9 +422,9 @@ def stage_batch(batch: BandedBatch, lanes: int | None = None):
             # clamp to the batch's pow2 width so small full batches
             # (deep bands, long texts) honor the caller's byte budget
             # (aligner/batch.py chunks on FULL_FILL_BYTES_BUDGET)
-            # instead of allocating LANES_FULL lanes of planes.
+            # instead of allocating a full lane tile of planes.
             b_p2 = max(LANES_FULL_MIN, 1 << max(B - 1, 0).bit_length())
-            lanes = min(LANES_FULL, b_p2)
+            lanes = min(full_lanes(EBB8_pre, batch.NB), b_p2)
         else:
             b_p2 = max(256, 1 << max(B - 1, 0).bit_length())
             lanes = min(score_lanes(EBB8_pre, batch.NB), b_p2)

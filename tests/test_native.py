@@ -229,3 +229,26 @@ def test_force_scalar_threads_through_params():
         native.set_force_scalar(False)
     np.testing.assert_array_equal(res_v.score, res_s.score)
     assert res_v.cigar == res_s.cigar
+
+
+def test_traceback_batch_matches_per_pair():
+    """qh_traceback_banded_batch (one call, threads inside) is
+    bit-identical to the per-pair entry over the same planes."""
+    pairs = _pairs(12, 260, 0.12, 31)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    cutoffs = [max(len(p), len(t)) * 30 // 100 for p, t in pairs]
+    batch = prepare_banded_batch(pats, txts, cutoffs, full=True)
+    out = run_banded(batch)
+    mats = [np.ascontiguousarray(np.asarray(out[k]))[None]
+            for k in ("mat_pv_lo", "mat_pv_hi", "mat_mv_lo", "mat_mv_hi")]
+    praws = [p.encode() for p in pats]
+    traws = [t.encode() for t in txts]
+    prologs = [int(batch.prolog[j]) for j in range(len(pairs))]
+    got = native.traceback_banded_batch(mats, batch.B, praws, traws,
+                                        prologs)
+    for j in range(len(pairs)):
+        want = native.traceback_banded(
+            mats[0][0], mats[1][0], mats[2][0], mats[3][0],
+            j, praws[j], traws[j], prologs[j])
+        assert got[j] == want
