@@ -67,9 +67,9 @@ def _timed(name, pairs, warm_pairs=None, with_cpu=True):
     the standard row for every workload."""
     from quicked_tpu.aligner import batch as ab
 
-    before = ab.venue_snapshot()
     if warm_pairs is not None:
         _run_quicked(warm_pairs)      # pre-compile the bucket shapes
+    before = ab.venue_snapshot()
     t_cold, n_ok = _run_quicked(pairs)   # first full-size call
     warm, _ = _run_quicked(pairs)
     after = ab.venue_snapshot()

@@ -259,6 +259,14 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
         flat = lambda a: a.reshape((COLS + 1) * WS, B)
         fPv_lo, fPv_hi = flat(PvW_lo), flat(PvW_hi)
         fMv_lo, fMv_hi = flat(MvW_lo), flat(MvW_hi)
+        # Pack the four window planes on a minor axis and both raw
+        # sequence windows on the row axis so each backtrace step does
+        # ONE gather for all plane words and ONE for both characters
+        # (six separate per-lane gathers per step were the measured
+        # cost of the sequential backtrace: 0.90 s marginal for a
+        # one-window 32768-lane batch, PERFORMANCE.md round 3).
+        fAll = jnp.stack([fPv_lo, fPv_hi, fMv_lo, fMv_hi], axis=1)
+        chars2 = jnp.concatenate([text_win_raw, pat_win_raw], axis=0)
 
         # ---- greedy in-window backtrace; score-only tie-break D,I,M,X
         # (windowed_backtrace_score_only, bpm_windowed.c:504-561); full
@@ -279,14 +287,14 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
             col = hh - h_min + 1
             idx_p = jnp.clip(col * WS + block, 0, (COLS + 1) * WS - 1)
             idx_m = jnp.clip((col - 1) * WS + block, 0, (COLS + 1) * WS - 1)
-            pvb = u64.bit64(_gather_lane(fPv_lo, idx_p),
-                            _gather_lane(fPv_hi, idx_p), bit)
-            mvb = u64.bit64(_gather_lane(fMv_lo, idx_m),
-                            _gather_lane(fMv_hi, idx_m), bit)
-            tchar = _gather_lane(text_win_raw,
-                                 jnp.clip(hh - h_min, 0, COLS - 1))
-            pchar = _gather_lane(pat_win_raw,
-                                 jnp.clip(vv - v_min, 0, COLS - 1))
+            words = jnp.take_along_axis(
+                fAll, jnp.stack([idx_p, idx_m])[:, None, :], axis=0)
+            pvb = u64.bit64(words[0, 0], words[0, 1], bit)
+            mvb = u64.bit64(words[1, 2], words[1, 3], bit)
+            cidx = jnp.stack([jnp.clip(hh - h_min, 0, COLS - 1),
+                              COLS + jnp.clip(vv - v_min, 0, COLS - 1)])
+            cc2 = jnp.take_along_axis(chars2, cidx, axis=0)
+            tchar, pchar = cc2[0], cc2[1]
             if full:
                 is_m = tchar == pchar
                 is_d = (~is_m) & (pvb == 1)

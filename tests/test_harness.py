@@ -61,3 +61,21 @@ def test_random_regime_100k():
     res = quicked_cascade_batch(pairs)
     for i in range(len(pairs)):
         assert int(res.status[i]) >= 0
+
+
+def test_workload_row_schema():
+    """benchmarks/run_workloads.run_workload returns the BENCH-artifact
+    row shape: cold/warm wall, venue diff, throughput fields."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    import run_workloads
+
+    row = run_workloads.run_workload(1)
+    for key in ("workload", "pairs", "bases", "cold_s", "warm_s",
+                "pairs_per_s", "bases_per_s", "ok", "venues"):
+        assert key in row, key
+    assert row["ok"] == row["pairs"] == 1
+    assert isinstance(row["venues"], dict) and row["venues"]

@@ -87,3 +87,20 @@ def test_pallas_lane_padding():
     seq = run_banded(batch)
     pal = run_banded_pallas(batch, interpret=True)
     np.testing.assert_array_equal(seq["scores_by_k"], pal["scores_by_k"])
+
+
+def test_full_lanes_vmem_model():
+    """full_lanes: widest tile within VMEM, monotone in EBB8/NB, never
+    below the Mosaic lane floor; the short-read geometry gets the wide
+    tile (the fixed 256-lane tile starved the VPU, PERFORMANCE.md)."""
+    from quicked_tpu.ops.banded_pallas import (LANES_FULL_MIN, VMEM_BUDGET,
+                                               full_lanes)
+
+    assert full_lanes(8, 2) == 2048
+    assert full_lanes(128, 64) <= 512
+    last = 1 << 30
+    for ebb8 in (8, 16, 32, 64, 128):
+        lanes = full_lanes(ebb8, 16)
+        assert LANES_FULL_MIN <= lanes <= 2048
+        assert lanes <= last            # monotone non-increasing
+        last = lanes
