@@ -53,7 +53,14 @@ def build_cases():
     p4, t4 = pair(60000, 13)
     cases.append(("deep-60k", prepare_banded_batch(
         [p4], [t4], [30000], full=False)))
-    # 6: ONT-scale stage-3 geometry (~500 kbp, cutoff ~76k -> EBB ~1190)
+    # 6: EBB beyond round-2's 3500 cap (the widened multiply-shift init:
+    # NS ~ 6700 resident slots > the old 3968 bound). text_finish keeps
+    # the host-C parity reference affordable; the deep window init is
+    # what changed.
+    p6, t6 = pair(2_700_000, 19, error=0.05)
+    cases.append(("deepband-6k", prepare_banded_batch(
+        [p6], [t6], [400000], full=False, text_finish=[60000])))
+    # 7: ONT-scale stage-3 geometry (~500 kbp, cutoff ~76k -> EBB ~1190)
     p5, t5 = pair(500000, 17, error=0.05)
     cases.append(("ont-500k", prepare_banded_batch(
         [p5], [t5], [76000], full=False)))

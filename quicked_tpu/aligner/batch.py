@@ -90,9 +90,12 @@ CSCAN_MAX_B = 32
 # (benchmarks/sysband_onchip.py: bit-parity on 6 geometries incl. ONT
 # 500 kbp, 2.73e9 block-advances/s = 4.8x the carry-scan kernel), so
 # default ON for deep bands; QUICKED_TPU_SYSBAND=0 opts out (falls back
-# to the carry-scan kernel); its resident-window init bounds EBB.
+# to the carry-scan kernel). The ceiling comes from the resident-window
+# init's multiply-shift overflow bound (NS <= 16512, stage assert):
+# round 3 widened it from 3500 (1.5 Mbp+ pairs at 15% band previously
+# fell back to the carry-scan kernel).
 SYSBAND_MIN_EBB = 192
-SYSBAND_MAX_EBB = 3500
+SYSBAND_MAX_EBB = 16000
 
 
 _LINK_MBPS: list = []    # cached device->host readback bandwidth probe

@@ -125,9 +125,13 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, text_hbm,                 # ANY (HBM)
         srow[:] = (k0 - prolog + 1) * W
         pho[:] = jnp.zeros((R, LN), U32)
         mho[:] = jnp.zeros((R, LN), U32)
-        # (-k) mod 65 without vector idiv: k//65 via multiply-shift
-        # (exact for k < 3971; NS stays far below that)
-        q65 = (k0 * 2017) >> 17
+        # (-k) mod 65 without vector idiv: k//65 via multiply-shift.
+        # m = ceil(2^23/65) = 129056, e = 65m - 2^23 = 32: exact for
+        # k < 2^23/e = 262144, and k*m stays below 2^31 for k <= 16639
+        # (the staging assert bounds NS accordingly). Round 2 used
+        # (k*2017)>>17, exact only to k < 3971, which capped EBB at
+        # 3500 and sent 1.5 Mbp+ pairs to the carry-scan fallback.
+        q65 = (k0 * 129056) >> 23
         r65 = k0 - CY * q65
         phase[:] = jnp.where(r65 == 0, 0, CY - r65)
         col[:] = -k0
@@ -560,8 +564,9 @@ def stage_sysband_batch(batch: BandedBatch):
     B, EBB, NB, K = batch.B, batch.EBB, batch.NB, batch.K
     R = resident_rows(EBB)
     NS = R * LN
-    # the init-phase multiply-shift (k*2017)>>17 is exact for k < 3971
-    assert NS <= 3968, f"sysband resident window too deep (NS={NS})"
+    # the init-phase multiply-shift (k*129056)>>23 needs k*m < 2^31,
+    # i.e. k <= 16639 (exactness itself holds to 262144)
+    assert NS <= 16512, f"sysband resident window too deep (NS={NS})"
     KT = -(-(K + 1) // LN) + R + 2
     DR = -(-(K + 1) // LN) + R + 1
     # text tiles hold 4 packed chars per i32 word

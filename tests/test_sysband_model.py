@@ -87,3 +87,22 @@ def test_sysband_deep_spread():
     out = run_sysband_pair(batch, 0)
     assert out["max_spread"] > 1 and out["base"] > 0
     _assert_parity(batch, out)
+
+
+def test_init_phase_multiply_shift_exact_to_overflow_bound():
+    """The kernel's vector-idiv-free (-k) mod 65 (init phase ring) must
+    match exact arithmetic over the whole representable range: m =
+    ceil(2^23/65) = 129056 is exact for k < 262144 and k*m stays below
+    2^31 for k <= 16639 — the staging assert (NS <= 16512) keeps every
+    resident slot index inside that bound. Round 2's (k*2017)>>17 was
+    exact only to k < 3971, which capped SYSBAND_MAX_EBB at 3500."""
+    import numpy as np
+
+    k = np.arange(16640, dtype=np.int64)
+    prod = k * 129056
+    assert prod.max() < 2 ** 31          # no i32 overflow in the kernel
+    q65 = (k * 129056) >> 23
+    np.testing.assert_array_equal(q65, k // 65)
+    r65 = k - 65 * q65
+    phase = np.where(r65 == 0, 0, 65 - r65)
+    np.testing.assert_array_equal(phase, (-k) % 65)
