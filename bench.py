@@ -197,7 +197,11 @@ def _workload_rows():
     """End-to-end BASELINE workload rows (benchmarks/run_workloads.py),
     run IN THIS PROCESS (one TPU client at a time — a second axon
     process would contend for the tunnel). Failures yield error rows:
-    a routing regression must surface in the artifact, not blank it."""
+    a routing regression must surface in the artifact, not blank it.
+    A tunnel that wedges MID-workload still hangs this process (a
+    subprocess-per-workload would be a second TPU client, and SIGALRM
+    can't interrupt a blocked device call) — the caller's timeout is
+    the backstop; QUICKED_TPU_BENCH_WORKLOADS=0 skips the rows."""
     sys.path.insert(0, os.path.join(REPO, "benchmarks"))
     import run_workloads
 

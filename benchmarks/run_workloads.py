@@ -69,10 +69,10 @@ def _timed(name, pairs, warm_pairs=None, with_cpu=True):
 
     if warm_pairs is not None:
         _run_quicked(warm_pairs)      # pre-compile the bucket shapes
-    before = ab.venue_snapshot()
     t_cold, n_ok = _run_quicked(pairs)   # first full-size call
-    warm, _ = _run_quicked(pairs)
-    after = ab.venue_snapshot()
+    before = ab.venue_snapshot()         # venues: the WARM run only —
+    warm, _ = _run_quicked(pairs)        # one run's routing, and cold
+    after = ab.venue_snapshot()          # (calibration) flips excluded
     venues = {k: after[k] - before.get(k, 0) for k in after
               if after[k] != before.get(k, 0)}
     bases = sum(max(len(p), len(t)) for p, t in pairs)

@@ -245,7 +245,15 @@ def _rate_fallback(family: str) -> float:
 def _calibrate_host_rate():
     """Marginal whole-host C-kernel rate from a two-size timed run
     (the difference cancels thread-pool spin-up and per-call fixed
-    costs). ~0.3 s once per host, then cached for _RATE_TTL_S."""
+    costs). ~0.3 s once per host, then cached for _RATE_TTL_S.
+
+    force_scalar is pinned OFF during the timing: the venue model's
+    est_host prices the DEFAULT (vector + threaded) host path, and a
+    scalar-mode measurement persisted for 7 days would mis-route every
+    later process. Best-of-3 min per size also bounds (not eliminates)
+    contamination from concurrent alignment threads — the fallback
+    constants remain the floor if a host measures implausibly."""
+    from quicked_tpu import native as _native
     from quicked_tpu.ops.banded_native import (native_available,
                                                run_banded_native)
     if not native_available():
@@ -269,8 +277,13 @@ def _calibrate_host_rate():
             best = min(best, time.perf_counter() - t0)
         return adv, best
 
-    a1, t1 = timed(12_000)
-    a2, t2 = timed(48_000)
+    prev = _native.get_force_scalar()
+    _native.set_force_scalar(False)
+    try:
+        a1, t1 = timed(12_000)
+        a2, t2 = timed(48_000)
+    finally:
+        _native.set_force_scalar(prev)
     if t2 - t1 <= 1e-4 or a2 <= a1:
         return None
     return (a2 - a1) / (t2 - t1)
@@ -429,6 +442,9 @@ def _prefer_host_shallow(batch, n_live: int) -> bool:
 # a silent routing regression (e.g. the round-2 probe crash) is then
 # visible as a venue shift, not just a timing blip.
 VENUE_COUNTS: dict = {}
+_VENUE_LOCK = threading.Lock()   # Hirschberg fwd/rev threads route
+                                 # concurrently; a bare dict RMW would
+                                 # drop increments
 
 # Active device mesh (parallel.mesh.use_mesh): when set, every batched
 # banded kernel call in the engine — cascade score passes, Hirschberg
@@ -440,11 +456,13 @@ ACTIVE_MESH = None
 
 
 def _venue(name: str) -> None:
-    VENUE_COUNTS[name] = VENUE_COUNTS.get(name, 0) + 1
+    with _VENUE_LOCK:
+        VENUE_COUNTS[name] = VENUE_COUNTS.get(name, 0) + 1
 
 
 def venue_snapshot() -> dict:
-    return dict(VENUE_COUNTS)
+    with _VENUE_LOCK:
+        return dict(VENUE_COUNTS)
 
 
 def _run_banded_auto(batch):

@@ -108,8 +108,12 @@ def windowed_score_batch(patterns, texts, hew_threshold: int,
     n = len(patterns)
     platform = jax.devices()[0].platform
     mesh = ab.ACTIVE_MESH
-    use_native = mesh is None and native.available() and window_size <= 16
-    if use_native and platform == "cpu":
+    # Under a mesh the device buckets run sharded, but the LONG-READ
+    # native routing below stays: the window walk is scalar-sequential
+    # (CLAUDE.md rule 4) and meshing it would run the accelerator-
+    # hostile loop on every chip instead of the host walk.
+    use_native = native.available() and window_size <= 16
+    if use_native and platform == "cpu" and mesh is None:
         return _windowed_native_batch(patterns, texts, hew_threshold,
                                       window_size, overlap_size)
     scores = np.zeros(n, dtype=np.int64)

@@ -360,17 +360,19 @@ def pallas_available() -> bool:
 VMEM_BUDGET = 15 * 2 ** 20
 
 
-def score_lanes(EBB8: int, NB: int) -> int:
-    """Widest lane tile whose VMEM footprint fits the score kernel.
+def _lanes_for(EBB8: int, NB: int, snapshot_rows: int, floor: int) -> int:
+    """Widest lane tile whose VMEM footprint fits. Shared model for
+    both kernel variants: scratch rows once, block-spec'd rows twice
+    (Mosaic double-buffers pipelined blocks across grid steps);
+    `snapshot_rows` adds the full variant's staging buffers.
 
     Measured on v5e (B=16384, L=5 kbp, EBB8=16): lane tile 2048 is +13%
     over 1024 (fewer, wider Mosaic instructions); 4096 fails to compile
-    (VMEM). Footprint model: scratch rows once, block-spec'd rows twice
-    (Mosaic double-buffers pipelined blocks across grid steps).
-    """
+    (VMEM)."""
     scratch_rows = ((EBB8 + 8) * 18      # peq windows (2x8) + lm (2x1)
                     + EBB8 * 4           # pv/mv band state
-                    + (EBB8 + 1) + 2)    # scw + first/last
+                    + (EBB8 + 1) + 2     # scw + first/last
+                    + snapshot_rows)
     block_rows = (64                     # text
                   + (EBB8 + 1)           # init_scores
                   + 8                    # lane-vector consts
@@ -380,7 +382,12 @@ def score_lanes(EBB8: int, NB: int) -> int:
     for lanes in (2048, 1024, 512, 256):
         if rows * 4 * lanes <= VMEM_BUDGET:
             return lanes
-    return 128
+    return floor
+
+
+def score_lanes(EBB8: int, NB: int) -> int:
+    """Widest lane tile whose VMEM footprint fits the score kernel."""
+    return _lanes_for(EBB8, NB, snapshot_rows=0, floor=128)
 
 
 def full_lanes(EBB8: int, NB: int) -> int:
@@ -390,23 +397,10 @@ def full_lanes(EBB8: int, NB: int) -> int:
     (2 slots x CH columns x EBB8 x 4 planes) on top of the score
     kernel's footprint; the traceback planes themselves live in HBM
     (ANY memory space) and don't count. Short-read batches (EBB8=8)
-    fit 2048 lanes — measured 8x the old fixed 256-lane tile's
-    throughput (the VPU was starved at 256): see PERFORMANCE.md
-    workload-3 device lane."""
-    scratch_rows = ((EBB8 + 8) * 18      # peq windows (2x8) + lm (2x1)
-                    + EBB8 * 4           # pv/mv band state
-                    + (EBB8 + 1) + 2     # scw + first/last
-                    + 2 * CH * EBB8 * 4)  # snapshot slots
-    block_rows = (64                     # text
-                  + (EBB8 + 1)           # init_scores
-                  + 8                    # lane-vector consts
-                  + (NB + EBB8 + 1)      # scores out
-                  + EBB8 * 4 + 2)        # pv/mv out + first/last out
-    rows = scratch_rows + 2 * block_rows
-    for lanes in (2048, 1024, 512, 256):
-        if rows * 4 * lanes <= VMEM_BUDGET:
-            return lanes
-    return LANES_FULL_MIN
+    fit 2048 lanes — the old fixed 256-lane tile starved the VPU
+    (PERFORMANCE.md workload-3 device lane)."""
+    return _lanes_for(EBB8, NB, snapshot_rows=2 * CH * EBB8 * 4,
+                      floor=LANES_FULL_MIN)
 
 
 def stage_batch(batch: BandedBatch, lanes: int | None = None):
