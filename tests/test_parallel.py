@@ -131,3 +131,35 @@ def test_hirschberg_under_mesh_bit_exact(monkeypatch):
         meshed = hmod.hirschberg_batch(txts, pats, cutoffs)
     assert base == meshed
     assert any(ops for _, ops in base)     # real alignments came back
+
+
+def test_use_mesh_keeps_long_read_windowed_on_host(monkeypatch):
+    """Inside use_mesh, long-read windowed buckets must still take the
+    native host walk (the window walk is scalar-sequential; meshing it
+    would run the accelerator-hostile loop on every chip), while the
+    results stay identical to unmeshed execution."""
+    from quicked_tpu import native
+    from quicked_tpu.aligner import cascade
+    from quicked_tpu.parallel.mesh import use_mesh
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    called = {}
+    real = cascade._windowed_native_batch
+
+    def spy(*a, **k):
+        called["native"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(cascade, "_windowed_native_batch", spy)
+    pairs = _pairs(2, 9000, 0.05, 5)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    base = cascade.windowed_score_batch(pats, txts, 40, 9, 1)
+    called.clear()
+    with use_mesh(make_mesh(8)):
+        meshed = cascade.windowed_score_batch(pats, txts, 40, 9, 1)
+    assert called.get("native"), "long bucket left the host walk"
+    np.testing.assert_array_equal(base[0], meshed[0])
+    np.testing.assert_array_equal(base[1], meshed[1])
