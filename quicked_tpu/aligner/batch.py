@@ -191,7 +191,14 @@ def _device_readback_mbps() -> float:
             np.asarray(buf)
             dt = max(time.perf_counter() - t0, 1e-9)
             _LINK_MBPS.append(8.0 / dt)
-            _probe_cache_put("readback_mbps", _LINK_MBPS[0])
+            # The in-process lock can't stop ANOTHER process's live
+            # transfers from contending the probe; a sub-1 MB/s reading
+            # (observed 0.14 MB/s during a concurrent bench) is a
+            # transient outage, not an operating point — this process
+            # honors it (routing host during an outage is right) but it
+            # must not poison other processes through the cache.
+            if _LINK_MBPS[0] >= 1.0:
+                _probe_cache_put("readback_mbps", _LINK_MBPS[0])
     return _LINK_MBPS[0]
 
 

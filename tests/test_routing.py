@@ -245,3 +245,37 @@ def test_mixed_lane_batch_records_one_total_lap(monkeypatch):
     assert timers.total.count.samples == 1
     assert all(st == QuickedStatus.QUICKED_WIP for st in res.status)
     assert int(res.score[0]) == 0 and res.cigar[0] == "8M"
+
+
+def test_outage_link_probe_not_persisted(tmp_path, monkeypatch):
+    """A sub-1 MB/s link probe (a transient outage / cross-process
+    contention, not an operating point) must serve THIS process but
+    stay out of the cross-process cache; a healthy reading persists."""
+    monkeypatch.setenv("QUICKED_TPU_CACHE", str(tmp_path))
+    import time as _time
+
+    class SlowClock:
+        def __init__(self):
+            self.t = 0.0
+
+        def __call__(self):
+            self.t += 10.0          # 8 MB / 10 s = 0.8 MB/s
+            return self.t
+
+    monkeypatch.setattr(ab, "_LINK_MBPS", [])
+    monkeypatch.setattr(_time, "perf_counter", SlowClock())
+    mbps = ab._device_readback_mbps()
+    assert mbps < 1.0
+    assert ab._probe_cache_get("readback_mbps") is None  # not cached
+    assert ab._device_readback_mbps() == mbps            # memoized
+
+    class FastClock(SlowClock):
+        def __call__(self):
+            self.t += 0.5           # 8 MB / 0.5 s = 16 MB/s
+            return self.t
+
+    monkeypatch.setattr(ab, "_LINK_MBPS", [])
+    monkeypatch.setattr(_time, "perf_counter", FastClock())
+    mbps = ab._device_readback_mbps()
+    assert mbps >= 1.0
+    assert ab._probe_cache_get("readback_mbps") == mbps  # cached
