@@ -29,10 +29,23 @@ def maybe_initialize_distributed() -> tuple[int, int]:
     (process_index, process_count)."""
     import jax
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and \
+    already = False
+    try:
+        from jax._src.distributed import global_state
+        already = global_state.client is not None
+    except ImportError:       # private module moved: fall through to
+        pass                  # initialize() and its error filter
+    if not already and os.environ.get("JAX_COORDINATOR_ADDRESS") and \
             os.environ.get("JAX_NUM_PROCESSES"):
         try:
-            jax.distributed.initialize()
+            # Pass the triplet explicitly: jax's cluster auto-detection
+            # recognizes scheduler environments (SLURM, MPI, k8s), not
+            # these generic variable names the launch docs promise.
+            pid = os.environ.get("JAX_PROCESS_ID")
+            jax.distributed.initialize(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(pid) if pid is not None else None)
         except RuntimeError as e:
             # Only an already-initialized runtime is benign; swallowing
             # e.g. an unreachable coordinator would silently degrade
