@@ -24,6 +24,75 @@ from quicked_tpu.ops import myers_np
 from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE, QuickedStatus
 
 
+# Below this many split tasks the per-pair numpy split is cheaper than
+# assembling padded planes + a jit dispatch; above it the batched
+# device-epilogue op amortizes (one call per level instead of a Python
+# loop) — many-lane levels appear in the distributed/mixed-stream
+# workloads.
+_SPLIT_BATCH_MIN = 8
+
+
+def _level_splits(split, fwd, rev):
+    """Per-task midpoints for one worklist level: (pll, score_l,
+    score_r) or None per task. Small levels take the per-pair spec
+    path; large ones the batched op (ops/hirschberg_split_jax),
+    bit-exact with it by construction and by test."""
+    if len(split) < _SPLIT_BATCH_MIN:
+        return [myers_np.hirschberg_split_fast(
+            f.pv64, f.mv64, f.first, f.last, f.scores_k,
+            r.pv64, r.mv64, r.first, r.last, r.scores_k,
+            f.prolog, len(t[3]), len(t[2]))
+            for t, f, r in zip(split, fwd, rev)]
+    import numpy as np
+
+    from quicked_tpu.ops.hirschberg_split_jax import hirschberg_split_batch
+
+    EBB = 1 << max(max(len(f.pv64) for f in fwd) - 1, 0).bit_length()
+    K1 = max(max(len(f.scores_k) for f in fwd),
+             max(len(r.scores_k) for r in rev))
+
+    def planes(states):
+        B = len(states)
+        pv_lo = np.zeros((EBB, B), np.uint32)
+        pv_hi = np.zeros((EBB, B), np.uint32)
+        mv_lo = np.zeros((EBB, B), np.uint32)
+        mv_hi = np.zeros((EBB, B), np.uint32)
+        scores = np.zeros((K1, B), np.int32)
+        for j, st in enumerate(states):
+            e = len(st.pv64)
+            pv_lo[:e, j] = (st.pv64 & np.uint64(0xFFFFFFFF)) \
+                .astype(np.uint32)
+            pv_hi[:e, j] = (st.pv64 >> np.uint64(32)).astype(np.uint32)
+            mv_lo[:e, j] = (st.mv64 & np.uint64(0xFFFFFFFF)) \
+                .astype(np.uint32)
+            mv_hi[:e, j] = (st.mv64 >> np.uint64(32)).astype(np.uint32)
+            sk = np.asarray(st.scores_k, np.int64)
+            scores[:len(sk), j] = sk[:K1]
+            # rows past the kernel's window: the init formula — equals
+            # the spec's out-of-dict fallback in the shifted frame
+            k = np.arange(len(sk), K1)
+            scores[len(sk):, j] = (k - st.prolog + 1) * 64
+        return pv_lo, pv_hi, mv_lo, mv_hi, scores
+
+    fp, rp = planes(fwd), planes(rev)
+
+    def i32(xs):
+        return np.asarray(xs, np.int32)
+
+    pll, sl, sr, ok = hirschberg_split_batch(
+        *fp[:4], i32([f.first for f in fwd]), i32([f.last for f in fwd]),
+        fp[4],
+        *rp[:4], i32([r.first for r in rev]), i32([r.last for r in rev]),
+        rp[4],
+        i32([f.prolog for f in fwd]), i32([len(f.pv64) for f in fwd]),
+        i32([len(t[3]) for t in split]), i32([len(t[2]) for t in split]),
+        EBB=EBB)
+    pll, sl, sr, ok = (np.asarray(pll), np.asarray(sl), np.asarray(sr),
+                       np.asarray(ok))
+    return [(int(pll[j]), int(sl[j]), int(sr[j])) if ok[j] else None
+            for j in range(len(split))]
+
+
 def hirschberg_batch(texts, patterns, cutoffs):
     """Full alignment of each (text, pattern) under its score bound.
 
@@ -88,12 +157,9 @@ def hirschberg_batch(texts, patterns, cutoffs):
                 txts + [t[::-1] for t in txts],
                 cos + cos, text_finish=mids + mids_r)
             fwd, rev = both[:len(split)], both[len(split):]
-            for t, f, r, mid in zip(split, fwd, rev, mids):
+            splits = _level_splits(split, fwd, rev)
+            for t, f, r, mid, sp in zip(split, fwd, rev, mids, splits):
                 i, path, text, pattern, cutoff = t
-                sp = myers_np.hirschberg_split_fast(
-                    f.pv64, f.mv64, f.first, f.last, f.scores_k,
-                    r.pv64, r.mv64, r.first, r.last, r.scores_k,
-                    f.prolog, len(pattern), len(text))
                 if sp is None:
                     status[i] = QuickedStatus.QUICKED_FAIL_NON_CONVERGENCE
                     if path >= fail_path.get(i, path):

@@ -150,3 +150,21 @@ def test_split_batch_flags_infeasible_lanes():
     assert bool(np.asarray(ok)[1])
     assert (int(np.asarray(pll)[1]), int(np.asarray(sl)[1]),
             int(np.asarray(sr)[1])) == spec[1]
+
+
+def test_level_splits_batch_path_matches_per_pair(monkeypatch):
+    """hirschberg_batch with the batched level-split op engaged (>= 8
+    split tasks) returns exactly what the per-pair spec path returns —
+    statuses, partial-CIGAR failure bytes, and full CIGARs."""
+    from quicked_tpu.aligner import hirschberg as hmod
+
+    pairs = list(generate.generate_pairs(10, 700, error=0.12, seed=37))
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    cutoffs = [max(len(p), len(t)) * 15 // 100 for p, t in pairs]
+    monkeypatch.setattr(hmod, "HIRSCHBERG_BUFFER_SIZE", 1 << 14)
+    res_batched = hmod.hirschberg_batch(txts, pats, cutoffs)
+    monkeypatch.setattr(hmod, "_SPLIT_BATCH_MIN", 10 ** 9)
+    res_per_pair = hmod.hirschberg_batch(txts, pats, cutoffs)
+    assert res_batched == res_per_pair
+    assert any(ops for _, ops in res_batched)
