@@ -168,3 +168,20 @@ def test_level_splits_batch_path_matches_per_pair(monkeypatch):
     res_per_pair = hmod.hirschberg_batch(txts, pats, cutoffs)
     assert res_batched == res_per_pair
     assert any(ops for _, ops in res_batched)
+
+
+def test_split_batch_randomized_soak():
+    """Wider randomized sweep: every feasible midpoint across mixed
+    lengths/error rates/bandwidths matches the spec exactly."""
+    rng = np.random.default_rng(99)
+    total = 0
+    for trial in range(6):
+        n = int(rng.integers(3, 7))
+        L = int(rng.integers(200, 4000))
+        err = float(rng.uniform(0.02, 0.2))
+        bw = int(rng.integers(8, 40))
+        pairs = list(generate.generate_pairs(n, L, error=err,
+                                             seed=100 + trial))
+        cutoffs = [max(len(p), len(t)) * bw // 100 for p, t in pairs]
+        total += _split_case(pairs, cutoffs)
+    assert total >= 15

@@ -279,3 +279,16 @@ def test_outage_link_probe_not_persisted(tmp_path, monkeypatch):
     mbps = ab._device_readback_mbps()
     assert mbps >= 1.0
     assert ab._probe_cache_get("readback_mbps") == mbps  # cached
+
+
+def test_device_calibration_declines_off_tpu(tmp_path, monkeypatch):
+    """With calibration ON but no TPU, _calibrate_device_rate declines
+    and _kernel_rate serves the measured fallback constant WITHOUT
+    persisting it (a fallback in the cache would mask a later real
+    calibration)."""
+    monkeypatch.setenv("QUICKED_TPU_CACHE", str(tmp_path))
+    monkeypatch.setenv("QUICKED_TPU_CALIBRATE", "1")
+    monkeypatch.setattr(ab, "_RATES", {})
+    assert ab._kernel_rate("sysband") == ab.SYSBAND_ADV_PER_S
+    assert ab._probe_cache_get("adv_rate_sysband",
+                               ttl=ab._RATE_TTL_S) is None
