@@ -27,22 +27,30 @@
 
 /* ---------------------------------------------------------------- DNA */
 
-static uint8_t dna_table[256];
-static int dna_table_init = 0;
-
-static void init_dna_table(void) {
-    if (dna_table_init) return;
-    memset(dna_table, 4, sizeof(dna_table));
-    dna_table['A'] = 0; dna_table['a'] = 0;
-    dna_table['C'] = 1; dna_table['c'] = 1;
-    dna_table['G'] = 2; dna_table['g'] = 2;
-    dna_table['T'] = 3; dna_table['t'] = 3;
-    dna_table['N'] = 4; dna_table['n'] = 4;
-    dna_table_init = 1;
-}
+/* Compile-time constant table (dna_encode_table, dna_text.c:41-46):
+ * A/C/G/T upper+lower -> 0..3, everything else -> 4 ('N' bucket).
+ * MUST be a static initializer, not lazily built: the batch pools call
+ * qh_encode_dna from many threads, and a lazy memset+fill init raced
+ * when a process's FIRST native call was multi-threaded — one thread's
+ * re-init momentarily wiped entries under another thread's encode,
+ * producing rare wrong scores (round-4 root cause; proven by a
+ * fork+threads stress at ~1/1500 per cold process). */
+#define QH_DT4_16 4,4,4,4, 4,4,4,4, 4,4,4,4, 4,4,4,4
+static const uint8_t dna_table[256] = {
+    QH_DT4_16, QH_DT4_16, QH_DT4_16, QH_DT4_16,         /* 0x00-0x3f */
+    /* 0x40: @ A B C D E F G | H I J K L M N O */
+    4, 0, 4, 1, 4, 4, 4, 2,   4, 4, 4, 4, 4, 4, 4, 4,
+    /* 0x50: P Q R S T U V W | X Y Z ...       */
+    4, 4, 4, 4, 3, 4, 4, 4,   4, 4, 4, 4, 4, 4, 4, 4,
+    /* 0x60: ` a b c d e f g | h i j k l m n o */
+    4, 0, 4, 1, 4, 4, 4, 2,   4, 4, 4, 4, 4, 4, 4, 4,
+    /* 0x70: p q r s t u v w | x y z ...       */
+    4, 4, 4, 4, 3, 4, 4, 4,   4, 4, 4, 4, 4, 4, 4, 4,
+    QH_DT4_16, QH_DT4_16, QH_DT4_16, QH_DT4_16,         /* 0x80-0xbf */
+    QH_DT4_16, QH_DT4_16, QH_DT4_16, QH_DT4_16,         /* 0xc0-0xff */
+};
 
 void qh_encode_dna(const uint8_t *raw, int64_t n, uint8_t *out) {
-    init_dna_table();
     for (int64_t i = 0; i < n; i++) out[i] = dna_table[raw[i]];
 }
 

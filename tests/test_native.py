@@ -252,3 +252,114 @@ def test_traceback_batch_matches_per_pair():
             mats[0][0], mats[1][0], mats[2][0], mats[3][0],
             j, praws[j], traws[j], prologs[j])
         assert got[j] == want
+
+
+_RACE_STRESS_C = r"""
+/* Regression prover for the round-4 dna_table lazy-init race: in each
+ * FRESH child process, T threads' first native call is qh_encode_dna on
+ * a cold table. Pre-fix (lazy memset+fill init) this corrupted encodes
+ * at ~1/1500 cold processes; the fix made the table a compile-time
+ * constant, so any re-introduced runtime init shows up here. */
+#include <dlfcn.h>
+#include <pthread.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <sys/wait.h>
+#include <unistd.h>
+
+typedef void (*encode_fn)(const uint8_t *, int64_t, uint8_t *);
+#define T 8
+#define N 4096
+static encode_fn enc;
+static pthread_barrier_t bar;
+static volatile int bad = 0;
+
+static void *worker(void *arg) {
+    (void)arg;
+    static const char alpha[4] = {'A', 'C', 'G', 'T'};
+    uint8_t in[N], out[N];
+    long s = (long)(intptr_t)arg;
+    for (int i = 0; i < N; i++) in[i] = (uint8_t)alpha[(i + s) & 3];
+    pthread_barrier_wait(&bar);
+    enc(in, N, out);
+    for (int i = 0; i < N; i++)
+        if (out[i] != (uint8_t)((i + s) & 3)) { bad = 1; break; }
+    return NULL;
+}
+
+int main(int argc, char **argv) {
+    (void)argc;
+    const char *lib = argv[1];
+    int iters = atoi(argv[2]);
+    int fails = 0;
+    for (int it = 0; it < iters; it++) {
+        pid_t pid = fork();
+        if (pid == 0) {
+            void *h = dlopen(lib, RTLD_NOW | RTLD_LOCAL);
+            if (!h) _exit(2);
+            enc = (encode_fn)dlsym(h, "qh_encode_dna");
+            if (!enc) _exit(2);
+            pthread_barrier_init(&bar, NULL, T);
+            pthread_t tids[T];
+            for (long s = 0; s < T; s++)
+                pthread_create(&tids[s], NULL, worker, (void *)(intptr_t)s);
+            for (int s = 0; s < T; s++) pthread_join(tids[s], NULL);
+            _exit(bad ? 1 : 0);
+        }
+        int st = 0;
+        waitpid(pid, &st, 0);
+        if (WIFEXITED(st) && WEXITSTATUS(st) == 1) fails++;
+        else if (!WIFEXITED(st) || WEXITSTATUS(st) != 0) return 2;
+    }
+    printf("fails=%d/%d\n", fails, iters);
+    return fails ? 1 : 0;
+}
+"""
+
+
+def _compile_race_stress(tmp_path):
+    import subprocess
+    src = tmp_path / "dna_race.c"
+    exe = tmp_path / "dna_race"
+    src.write_text(_RACE_STRESS_C)
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run([cc, "-O2", "-o", str(exe), str(src),
+                            "-ldl", "-pthread"],
+                           check=True, capture_output=True, timeout=60)
+            return exe
+        except (OSError, subprocess.CalledProcessError,
+                subprocess.TimeoutExpired):
+            continue
+    return None
+
+
+@pytest.mark.parametrize("iters", [200])
+def test_encode_dna_cold_process_thread_race(tmp_path, iters):
+    """Pins the round-4 nondeterminism root cause: concurrent FIRST
+    encodes in a fresh process must be correct (the table is a
+    compile-time constant; a lazy runtime init raced)."""
+    import subprocess
+    if not hasattr(os, "fork"):
+        pytest.skip("needs fork")
+    exe = _compile_race_stress(tmp_path)
+    if exe is None:
+        pytest.skip("no C toolchain for the stress harness")
+    r = subprocess.run([str(exe), native._LIB_PATH, str(iters)],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_encode_dna_cold_process_thread_race_deep(tmp_path):
+    import subprocess
+    if not hasattr(os, "fork"):
+        pytest.skip("needs fork")
+    exe = _compile_race_stress(tmp_path)
+    if exe is None:
+        pytest.skip("no C toolchain for the stress harness")
+    r = subprocess.run([str(exe), native._LIB_PATH, "4000"],
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stdout + r.stderr
