@@ -996,6 +996,123 @@ int64_t qh_banded_align_full(
 
 /* ------------------------------------- windowed score (CPU path) */
 
+/* One maskless Myers advance on a single 64-bit block (the window
+ * fill's inner op; carries ride bit 63). */
+static inline void qh_adv1(uint64_t eq, uint64_t *pv_io, uint64_t *mv_io,
+                           uint64_t *phin_io, uint64_t *mhin_io) {
+    const uint64_t pv = *pv_io, mv = *mv_io;
+    const uint64_t xv = eq | mv;
+    const uint64_t eq2 = eq | *mhin_io;
+    const uint64_t xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+    uint64_t ph = mv | ~(xh | pv);
+    uint64_t mh = pv & xh;
+    const uint64_t phout = ph >> 63, mhout = mh >> 63;
+    ph = (ph << 1) | *phin_io;
+    mh = (mh << 1) | *mhin_io;
+    *pv_io = mh | ~(xv | ph);
+    *mv_io = ph & xv;
+    *phin_io = phout;
+    *mhin_io = mhout;
+}
+
+typedef uint64_t qh_v2u64 __attribute__((vector_size(16)));
+
+/*
+ * SIMD ws==2 window fill: anti-diagonal 2-lane pipeline (the TPU-host
+ * analogue of the reference's SSE4.1 window kernel,
+ * bpm_windowed.c:283-445 — same dataflow idea, GCC portable vectors).
+ * At steady state the two independent cells of the window's 2-block
+ * anti-diagonal run in one 2x64-bit vector: lane 0 advances block 0 at
+ * column k while lane 1 advances block 1 at column k-1, consuming the
+ * carry lane 0 produced one step earlier. Only independent (column,
+ * block) cells are reordered, so the fill is bit-exact with the scalar
+ * loop. Writes the same (cols+1) x 2 PvW/MvW layout.
+ */
+static void qh_window_fill2_simd(
+    const uint64_t (*peq_win)[5], const uint8_t *text_col,
+    int64_t steps_h, uint64_t ph_first, uint64_t init_pv,
+    uint64_t *PvW, uint64_t *MvW) {
+    __atomic_fetch_add(&qh_simd_passes, 1, __ATOMIC_RELAXED);
+    PvW[0] = init_pv; PvW[1] = init_pv;
+    MvW[0] = 0; MvW[1] = 0;
+    qh_v2u64 pv = {init_pv, init_pv}, mv = {0, 0};
+    /* prologue: (col 0, block 0) */
+    uint64_t carry_p, carry_m;
+    {
+        uint64_t p = pv[0], m = mv[0], ci = ph_first, mi = 0;
+        qh_adv1(peq_win[0][text_col[0]], &p, &m, &ci, &mi);
+        pv[0] = p; mv[0] = m;
+        PvW[2] = p; MvW[2] = m;
+        carry_p = ci; carry_m = mi;
+    }
+    /* steady state: step k retires (col k, b0) and (col k-1, b1) */
+    for (int64_t k = 1; k <= steps_h; k++) {
+        const qh_v2u64 eq = {peq_win[0][text_col[k]],
+                             peq_win[1][text_col[k - 1]]};
+        const qh_v2u64 phin = {ph_first, carry_p};
+        const qh_v2u64 mhin = {0, carry_m};
+        const qh_v2u64 xv = eq | mv;
+        const qh_v2u64 eq2 = eq | mhin;
+        const qh_v2u64 xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+        qh_v2u64 ph = mv | ~(xh | pv);
+        qh_v2u64 mh = pv & xh;
+        const qh_v2u64 phout = ph >> 63, mhout = mh >> 63;
+        ph = (ph << 1) | phin;
+        mh = (mh << 1) | mhin;
+        pv = mh | ~(xv | ph);
+        mv = ph & xv;
+        carry_p = phout[0];
+        carry_m = mhout[0];
+        /* lane 1 lands at [k*2+1], lane 0 at [(k+1)*2] — adjacent;
+         * one unaligned 16-byte store of the swapped pair */
+        const qh_v2u64 sw_p = __builtin_shuffle(pv, (qh_v2u64){1, 0});
+        const qh_v2u64 sw_m = __builtin_shuffle(mv, (qh_v2u64){1, 0});
+        memcpy(&PvW[k * 2 + 1], &sw_p, 16);
+        memcpy(&MvW[k * 2 + 1], &sw_m, 16);
+    }
+    /* epilogue: (col steps_h, block 1) */
+    {
+        uint64_t p = pv[1], m = mv[1], ci = carry_p, mi = carry_m;
+        qh_adv1(peq_win[1][text_col[steps_h]], &p, &m, &ci, &mi);
+        PvW[(steps_h + 1) * 2 + 1] = p;
+        MvW[(steps_h + 1) * 2 + 1] = m;
+    }
+}
+
+/* Window fill shared by score and full modes: init column + steps_h+1
+ * text columns into the (cols+1) x ws PvW/MvW planes. Takes the SIMD
+ * anti-diagonal path for full two-block ws==2 windows unless
+ * force_scalar is set (the reference gates its SSE window kernel the
+ * same way, bpm_windowed.c:576-586). */
+static void qh_window_fill(
+    const uint64_t (*peq_win)[5], const uint8_t *text_enc, int64_t h_min,
+    int64_t steps_v, int64_t steps_h, int64_t ws,
+    uint64_t ph_first, uint64_t init_pv, int force_scalar,
+    uint64_t *PvW, uint64_t *MvW) {
+    if (ws == 2 && steps_v == 2 && !force_scalar) {
+        qh_window_fill2_simd(peq_win, text_enc + h_min, steps_h,
+                             ph_first, init_pv, PvW, MvW);
+        return;
+    }
+    uint64_t Pv[QH_WS_MAX], Mv[QH_WS_MAX];
+    for (int64_t i = 0; i < steps_v; i++) {
+        Pv[i] = init_pv;
+        Mv[i] = 0;
+        PvW[i] = init_pv;
+        MvW[i] = 0;
+    }
+    for (int64_t tp = 0; tp <= steps_h; tp++) {
+        const int c = text_enc[tp + h_min];
+        uint64_t phin = ph_first, mhin = 0;
+        for (int64_t i = 0; i < steps_v; i++)
+            qh_adv1(peq_win[i][c], &Pv[i], &Mv[i], &phin, &mhin);
+        for (int64_t i = 0; i < steps_v; i++) {
+            PvW[(tp + 1) * ws + i] = Pv[i];
+            MvW[(tp + 1) * ws + i] = Mv[i];
+        }
+    }
+}
+
 /*
  * Host-native WindowEd score bound (model: ops/myers_np.py
  * windowed_compute with score_only=True): walk overlapping
@@ -1029,6 +1146,7 @@ int64_t qh_windowed_score(
         for (int c = 0; c < 5; c++)
             peq[(i / QH_W) * 5 + c] |= 1ULL << (i % QH_W);
     uint64_t peq_win[QH_WS_MAX][5];
+    const int fsc = qh_get_force_scalar();
 
     int64_t pos_v = plen - 1, pos_h = tlen - 1;
     int64_t score = 0, hew = 0;
@@ -1053,41 +1171,9 @@ int64_t qh_windowed_score(
                                       : lo;
             }
 
-        uint64_t Pv[QH_WS_MAX], Mv[QH_WS_MAX];
-        for (int64_t i = 0; i < ws; i++) {
-            Pv[i] = (h_min == 0) ? ~0ULL : 0;
-            Mv[i] = 0;
-        }
         const uint64_t ph_first = (v_min == 0) ? 1 : 0;
-        for (int64_t i = 0; i < steps_v; i++) {
-            PvW[i] = Pv[i];
-            MvW[i] = Mv[i];
-        }
-        for (int64_t tp = 0; tp <= steps_h; tp++) {
-            const int c = text_enc[tp + h_min];
-            uint64_t phin = ph_first, mhin = 0;
-            for (int64_t i = 0; i < steps_v; i++) {
-                uint64_t eq = peq_win[i][c];
-                uint64_t pv = Pv[i], mv = Mv[i];
-                uint64_t xv = eq | mv;
-                uint64_t eq2 = eq | mhin;
-                uint64_t xh = (((eq2 & pv) + pv) ^ pv) | eq2;
-                uint64_t ph = mv | ~(xh | pv);
-                uint64_t mh = pv & xh;
-                uint64_t phout = ph >> 63;
-                uint64_t mhout = mh >> 63;
-                ph = (ph << 1) | phin;
-                mh = (mh << 1) | mhin;
-                Pv[i] = mh | ~(xv | ph);
-                Mv[i] = ph & xv;
-                phin = phout;
-                mhin = mhout;
-            }
-            for (int64_t i = 0; i < steps_v; i++) {
-                PvW[(tp + 1) * ws + i] = Pv[i];
-                MvW[(tp + 1) * ws + i] = Mv[i];
-            }
-        }
+        qh_window_fill(peq_win, text_enc, h_min, steps_v, steps_h, ws,
+                       ph_first, (h_min == 0) ? ~0ULL : 0, fsc, PvW, MvW);
 
         /* greedy score-only backtrace (model: _window_backtrace) */
         int64_t h = pos_h, v = pos_v;
@@ -1150,6 +1236,7 @@ int64_t qh_windowed_full(
         for (int c = 0; c < 5; c++)
             peq[(i / QH_W) * 5 + c] |= 1ULL << (i % QH_W);
     uint64_t peq_win[QH_WS_MAX][5];
+    const int fsc = qh_get_force_scalar();
 
     int64_t pos_v = plen - 1, pos_h = tlen - 1;
     const int64_t cap = plen + tlen;
@@ -1173,41 +1260,9 @@ int64_t qh_windowed_full(
                                       : lo;
             }
 
-        uint64_t Pv[QH_WS_MAX], Mv[QH_WS_MAX];
-        for (int64_t i = 0; i < ws; i++) {
-            Pv[i] = (h_min == 0) ? ~0ULL : 0;
-            Mv[i] = 0;
-        }
         const uint64_t ph_first = (v_min == 0) ? 1 : 0;
-        for (int64_t i = 0; i < steps_v; i++) {
-            PvW[i] = Pv[i];
-            MvW[i] = Mv[i];
-        }
-        for (int64_t tp = 0; tp <= steps_h; tp++) {
-            const int c = text_enc[tp + h_min];
-            uint64_t phin = ph_first, mhin = 0;
-            for (int64_t i = 0; i < steps_v; i++) {
-                uint64_t eq = peq_win[i][c];
-                uint64_t pv = Pv[i], mv = Mv[i];
-                uint64_t xv = eq | mv;
-                uint64_t eq2 = eq | mhin;
-                uint64_t xh = (((eq2 & pv) + pv) ^ pv) | eq2;
-                uint64_t ph = mv | ~(xh | pv);
-                uint64_t mh = pv & xh;
-                uint64_t phout = ph >> 63;
-                uint64_t mhout = mh >> 63;
-                ph = (ph << 1) | phin;
-                mh = (mh << 1) | mhin;
-                Pv[i] = mh | ~(xv | ph);
-                Mv[i] = ph & xv;
-                phin = phout;
-                mhin = mhout;
-            }
-            for (int64_t i = 0; i < steps_v; i++) {
-                PvW[(tp + 1) * ws + i] = Pv[i];
-                MvW[(tp + 1) * ws + i] = Mv[i];
-            }
-        }
+        qh_window_fill(peq_win, text_enc, h_min, steps_v, steps_h, ws,
+                       ph_first, (h_min == 0) ? ~0ULL : 0, fsc, PvW, MvW);
 
         /* full-mode backtrace: tie-break M, D, I, X
          * (windowed_backtrace, bpm_windowed.c:448-502) */
