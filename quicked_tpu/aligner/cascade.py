@@ -292,13 +292,26 @@ def _cascade_with_native_lane(pairs, params, timers, fast) -> CascadeResult:
 
     from quicked_tpu.aligner.batch import _venue
     _venue("cascade_native")
+    all_fast = len(fast) == n
+    if all_fast:
+        f_pats = [p for p, _ in pairs]
+        f_txts = [t for _, t in pairs]
+    else:
+        f_pats = [pairs[i][0] for i in fast]
+        f_txts = [pairs[i][1] for i in fast]
     st, sc, rles = native.quicked_batch(
-        [pairs[i][0] for i in fast], [pairs[i][1] for i in fast],
+        f_pats, f_txts,
         bandwidth=params.bandwidth, window_size=params.window_size,
         overlap_size=params.overlap_size,
         hew_threshold=params.hew_threshold,
         hew_percentage=params.hew_percentage,
         budget=HIRSCHBERG_BUFFER_SIZE, rle=True)
+    if all_fast and not np.any(st):
+        # the hot batch shape: every pair aligned fully in C — return
+        # the packed results without materializing n Python strings
+        # (run_quicked returns QUICKED_WIP on success, quicked.c:305)
+        return CascadeResult(status=[QuickedStatus.QUICKED_WIP] * n,
+                             score=sc, cigar=rles.with_empty_as_none())
     deferred = []       # (input index, proven bound)
     for j, i in enumerate(fast):
         if st[j] == 0:

@@ -556,6 +556,92 @@ def windowed_full(pattern_enc: np.ndarray, pattern_raw: bytes,
     return ops.raw[:n].decode("ascii")
 
 
+class LazyOpsList:
+    """Per-pair op/RLE strings decoded lazily from the packed C output
+    buffers. Building N Python str objects for a 100k-pair batch costs
+    more than the C alignment itself for short reads; callers that
+    never index the ops (benchmark rows, score-only consumers) skip the
+    cost entirely. Materializes ALL elements on first access (one list
+    comprehension beats 100k per-element __getitem__ calls) and then
+    behaves as a plain list. Element semantics match the eager list:
+    str for status==0 ("" when the op string is empty), None otherwise.
+    """
+
+    __slots__ = ("_segs", "_list", "_n", "_empty_as_none")
+
+    def __init__(self, segs, empty_as_none=False):
+        # segs: list of (ops_arr uint8, off int64[], ln int64[], status)
+        self._segs = segs
+        self._n = sum(len(s[3]) for s in segs)
+        self._list = None
+        self._empty_as_none = empty_as_none
+
+    def _materialize(self):
+        if self._list is None:
+            none_val = None
+            out = []
+            for arr, off, ln, status in self._segs:
+                raw = arr.tobytes()
+                if self._empty_as_none:
+                    out.extend(
+                        (raw[o:o + l].decode("ascii") if l else none_val)
+                        if s == 0 else none_val
+                        for o, l, s in zip(off.tolist(), ln.tolist(),
+                                           status.tolist()))
+                else:
+                    out.extend(
+                        raw[o:o + l].decode("ascii") if s == 0 else none_val
+                        for o, l, s in zip(off.tolist(), ln.tolist(),
+                                           status.tolist()))
+            self._list = out
+            self._segs = None
+        return self._list
+
+    def with_empty_as_none(self):
+        """View with the cascade's `x if x else None` normalization."""
+        if self._list is not None:
+            return [x if x else None for x in self._list]
+        return LazyOpsList(self._segs, empty_as_none=True)
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        return self._materialize()[i]
+
+    def __iter__(self):
+        return iter(self._materialize())
+
+    def __eq__(self, other):
+        if isinstance(other, LazyOpsList):
+            other = other._materialize()
+        return self._materialize() == other
+
+    def __repr__(self):
+        return (f"LazyOpsList(n={self._n}, "
+                f"materialized={self._list is not None})")
+
+
+def _seqs_as_bytes(seqs):
+    """Encode a batch of sequences (str | bytes | uint8 arrays) to a
+    list of bytes with dna-text semantics (non-ASCII -> replacement,
+    which the encode table buckets as 'N'). One comprehension for the
+    homogeneous common cases; per-element fallback for mixed input."""
+    if not seqs:
+        return []
+    first = seqs[0]
+    try:
+        if isinstance(first, str):
+            return [s.encode("ascii", "replace") for s in seqs]
+        if isinstance(first, (bytes, bytearray)):
+            return [bytes(s) for s in seqs]
+    except (AttributeError, TypeError):
+        pass  # mixed types: slow path below
+    return [s.encode("ascii", "replace") if isinstance(s, str)
+            else bytes(s) if isinstance(s, (bytes, bytearray))
+            else np.asarray(s, dtype=np.uint8).tobytes() for s in seqs]
+
+
 def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
                   overlap_size: int, hew_threshold, hew_percentage,
                   budget: int, n_threads: int | None = None,
@@ -564,7 +650,7 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
     pool inside, zero per-pair Python overhead) — the host fast lane for
     short pairs and CPU-only platforms.
 
-    Returns (status int64 array, scores int64 array, ops list).
+    Returns (status int64 array, scores int64 array, ops LazyOpsList).
     status 0: fully aligned in C (ops = op string, score = edit score);
     status 1: band footprint exceeded the Hirschberg budget — score
     holds the proven bound for the batched Hirschberg driver.
@@ -573,12 +659,9 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
     n = len(patterns)
     if n_threads is None:
         n_threads = default_threads()
-    def as_bytes(s):
-        return (s.encode("ascii", "replace") if isinstance(s, str)
-                else np.asarray(s, dtype=np.uint8).tobytes())
 
-    pats_b = [as_bytes(p) for p in patterns]
-    txts_b = [as_bytes(t) for t in texts]
+    pats_b = _seqs_as_bytes(patterns)
+    txts_b = _seqs_as_bytes(texts)
 
     # Chunk large batches so the scratch working set (packed sequences,
     # op planes, RLE output ~6x the bases) stays small and is REUSED
@@ -593,14 +676,14 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
     if n > 1 and total_bases > 2 * chunk_bases:
         status = np.zeros(n, dtype=np.int64)
         scores = np.zeros(n, dtype=np.int64)
-        ops: list = []
+        segs: list = []
         lo = 0
         while lo < n:
             hi, acc = lo, 0
             while hi < n and (hi == lo or acc < chunk_bases):
                 acc += len(pats_b[hi]) + len(txts_b[hi])
                 hi += 1
-            c_st, c_sc, c_ops = _quicked_batch_run(
+            c_st, c_sc, c_seg = _quicked_batch_run(
                 lib, pats_b[lo:hi], txts_b[lo:hi],
                 bandwidth=bandwidth, window_size=window_size,
                 overlap_size=overlap_size, hew_threshold=hew_threshold,
@@ -608,14 +691,15 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
                 n_threads=n_threads, rle=rle)
             status[lo:hi] = c_st
             scores[lo:hi] = c_sc
-            ops.extend(c_ops)
+            segs.append(c_seg)
             lo = hi
-        return status, scores, ops
-    return _quicked_batch_run(
+        return status, scores, LazyOpsList(segs)
+    st, sc, seg = _quicked_batch_run(
         lib, pats_b, txts_b, bandwidth=bandwidth,
         window_size=window_size, overlap_size=overlap_size,
         hew_threshold=hew_threshold, hew_percentage=hew_percentage,
         budget=budget, n_threads=n_threads, rle=rle)
+    return st, sc, LazyOpsList([seg])
 
 
 def _quicked_batch_run(lib, pats_b, txts_b, *, bandwidth, window_size,
@@ -662,16 +746,8 @@ def _quicked_batch_run(lib, pats_b, txts_b, *, bandwidth, window_size,
             ops_buf, arr(ops_off), arr(ops_len), n, 1,
             out_arr.ctypes.data_as(ctypes.c_char_p), arr(out_off),
             arr(out_len))
-        raw = out_arr.tobytes()
-        ops = [raw[int(out_off[i]):int(out_off[i]) + int(out_len[i])]
-               .decode("ascii") if status[i] == 0 else None
-               for i in range(n)]
-        return status, scores, ops
-    raw = ops_arr.tobytes()
-    ops = [raw[int(ops_off[i]):int(ops_off[i]) + int(ops_len[i])]
-           .decode("ascii") if status[i] == 0 else None
-           for i in range(n)]
-    return status, scores, ops
+        return status, scores, (out_arr, out_off, out_len, status)
+    return status, scores, (ops_arr, ops_off, ops_len, status)
 
 
 def hirschberg(pattern_enc: np.ndarray, pattern_raw: bytes,
