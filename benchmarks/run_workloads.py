@@ -85,6 +85,10 @@ def _timed(name, pairs, warm_pairs=None, with_cpu=True):
     if warm_pairs is not None:
         _run_quicked(warm_pairs)      # pre-compile the bucket shapes
     t_cold, n_ok = _run_quicked(pairs)   # first full-size call
+    # steady state for the warm reps: background kernel warmups
+    # (utils/warmup cold-shape deferral) must not contend the cores
+    from quicked_tpu.utils import warmup
+    warmup.wait_idle()
     before = ab.venue_snapshot()         # venues: the first warm run —
     warms = [_run_quicked(pairs)[0]]     # one run's routing, and cold
     after = ab.venue_snapshot()          # (calibration) flips excluded

@@ -472,6 +472,29 @@ def venue_snapshot() -> dict:
         return dict(VENUE_COUNTS)
 
 
+def _device_with_cold_deferral(family: str, batch, run_dev):
+    """Run the device kernel for this batch, with first-contact latency
+    control (utils/warmup): when this bucket shape's device kernel
+    hasn't executed in-process yet, serve the batch from the bit-exact
+    host C kernel and compile/warm the device kernel in the background;
+    later calls with the same shape take the device inline."""
+    from quicked_tpu.ops.banded_native import (native_available,
+                                               run_banded_native)
+    from quicked_tpu.utils import warmup
+
+    key = (family, batch.B, batch.EBB, batch.NB, bool(batch.full),
+           int(batch.text.shape[-1]))
+    if native_available() and batch.enc_patterns is not None and \
+            warmup.defer_cold(key, lambda: run_dev(batch)):
+        _venue(family + "_warming")
+        _venue("host_c")
+        return run_banded_native(batch)
+    _venue(family)
+    out = run_dev(batch)
+    warmup.mark_warm(key)
+    return out
+
+
 def _run_banded_auto(batch):
     """Pick the banded kernel by batch geometry (score-only batches)."""
     if ACTIVE_MESH is not None:
@@ -516,13 +539,13 @@ def _run_banded_auto(batch):
                     from quicked_tpu.ops.banded_sysband_pallas import (
                         run_banded_sysband_pallas,
                     )
-                    _venue("sysband")
-                    return run_banded_sysband_pallas(batch)
+                    return _device_with_cold_deferral(
+                        "sysband", batch, run_banded_sysband_pallas)
                 from quicked_tpu.ops.banded_cscan_pallas import (
                     run_banded_cscan_pallas,
                 )
-                _venue("cscan")
-                return run_banded_cscan_pallas(batch)
+                return _device_with_cold_deferral(
+                    "cscan", batch, run_banded_cscan_pallas)
             if deep:
                 from quicked_tpu.ops.banded_wavefront_jax import (
                     run_banded_wavefront,
@@ -542,8 +565,8 @@ def _run_banded_auto(batch):
                 _venue("host_c")
                 return _run_host(batch)
             from quicked_tpu.ops.banded_pallas import run_banded_pallas
-            _venue("pallas")
-            return run_banded_pallas(batch)
+            return _device_with_cold_deferral(
+                "pallas", batch, run_banded_pallas)
         if batch.EBB >= WAVEFRONT_MIN_EBB and batch.B <= WAVEFRONT_MAX_B:
             from quicked_tpu.ops.banded_wavefront_jax import run_banded_wavefront
             _venue("wavefront_xla")
@@ -676,8 +699,25 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                 pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
             if device_full:
                 from quicked_tpu.ops.banded_pallas import run_banded_pallas
+                from quicked_tpu.utils import warmup
+                key = ("full_pallas", batch.B, batch.EBB, batch.NB,
+                       int(batch.text.shape[-1]))
+                if warmup.defer_cold(key,
+                                     lambda b=batch: run_banded_pallas(b)):
+                    # cold shape: per-pair host C fill+traceback now,
+                    # device kernel compiles in the background
+                    # (device_full implies native_available)
+                    _venue("full_pallas_warming")
+                    _venue("full_host_c")
+                    sc_nat, ops_nat = run_banded_full_native(pats, txts,
+                                                             cos)
+                    for j, i in enumerate(sub):
+                        scores[i] = sc_nat[j]
+                        ops_out[i] = ops_nat[j]
+                    continue
                 _venue("full_pallas")
                 out = run_banded_pallas(batch)
+                warmup.mark_warm(key)
             else:
                 out = _run_banded_auto(batch)
             sc = extract_final_scores(batch, out["scores_by_k"])

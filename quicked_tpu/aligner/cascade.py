@@ -143,9 +143,25 @@ def windowed_score_batch(patterns, texts, hew_threshold: int,
                                               window_size, overlap_size,
                                               mesh)
             else:
-                sc, hw = run_windowed_score(batch, hew_threshold,
-                                            window_size, overlap_size,
-                                            device=_windowed_device(size))
+                from quicked_tpu.utils import warmup
+                key = ("windowed", window_size, overlap_size,
+                       hew_threshold, size, b_pad)
+
+                def _dev(b=batch):
+                    return run_windowed_score(
+                        b, hew_threshold, window_size, overlap_size,
+                        device=_windowed_device(size))
+
+                if use_native and warmup.defer_cold(key, _dev):
+                    # cold shape: host C kernel now, device kernel
+                    # compiles in the background (utils/warmup)
+                    ab._venue("windowed_warming")
+                    sc, hw = _windowed_native_batch(
+                        pats, txts, hew_threshold, window_size,
+                        overlap_size)
+                else:
+                    sc, hw = _dev()
+                    warmup.mark_warm(key)
         for j, i in enumerate(idxs):
             scores[i] = sc[j]
             hews[i] = hw[j]

@@ -28,8 +28,20 @@ from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE, QuickedStatus
 # assembling padded planes + a jit dispatch; above it the batched
 # device-epilogue op amortizes (one call per level instead of a Python
 # loop) — many-lane levels appear in the distributed/mixed-stream
-# workloads.
-_SPLIT_BATCH_MIN = 8
+# workloads. Measured round 4: a single-ONT-pair run's levels (<= 16
+# tasks) cost ~1 ms/task on the numpy path vs a per-geometry XLA
+# compile (3.3 s/level on the axon tunnel, seconds on CPU) plus
+# dispatch for the batched op — the op pays off only on wide levels.
+_SPLIT_BATCH_MIN = 64
+
+
+def _splits_np(split, fwd, rev):
+    """Per-pair spec-path midpoints (the batched op's bit-exact twin)."""
+    return [myers_np.hirschberg_split_fast(
+        f.pv64, f.mv64, f.first, f.last, f.scores_k,
+        r.pv64, r.mv64, r.first, r.last, r.scores_k,
+        f.prolog, len(t[3]), len(t[2]))
+        for t, f, r in zip(split, fwd, rev)]
 
 
 def _level_splits(split, fwd, rev):
@@ -38,26 +50,30 @@ def _level_splits(split, fwd, rev):
     path; large ones the batched op (ops/hirschberg_split_jax),
     bit-exact with it by construction and by test."""
     if len(split) < _SPLIT_BATCH_MIN:
-        return [myers_np.hirschberg_split_fast(
-            f.pv64, f.mv64, f.first, f.last, f.scores_k,
-            r.pv64, r.mv64, r.first, r.last, r.scores_k,
-            f.prolog, len(t[3]), len(t[2]))
-            for t, f, r in zip(split, fwd, rev)]
+        return _splits_np(split, fwd, rev)
     import numpy as np
 
     from quicked_tpu.ops.hirschberg_split_jax import hirschberg_split_batch
 
+    # Shared pow2 buckets for EVERY traced dimension (EBB, the lane
+    # count B, and the score-window length K1): the worklist's size and
+    # geometry change every level, and an un-bucketed call would pay
+    # one XLA compile per level — more than the per-pair numpy path it
+    # replaces. Pad lanes replicate lane 0's state and are dropped on
+    # return (the repo-wide _prep/_lane_pad pattern).
+    B = len(split)
+    B_pad = max(1 << max(B - 1, 0).bit_length(), _SPLIT_BATCH_MIN)
     EBB = 1 << max(max(len(f.pv64) for f in fwd) - 1, 0).bit_length()
     K1 = max(max(len(f.scores_k) for f in fwd),
              max(len(r.scores_k) for r in rev))
+    K1 = 1 << max(K1 - 1, 0).bit_length()
 
     def planes(states):
-        B = len(states)
-        pv_lo = np.zeros((EBB, B), np.uint32)
-        pv_hi = np.zeros((EBB, B), np.uint32)
-        mv_lo = np.zeros((EBB, B), np.uint32)
-        mv_hi = np.zeros((EBB, B), np.uint32)
-        scores = np.zeros((K1, B), np.int32)
+        pv_lo = np.zeros((EBB, B_pad), np.uint32)
+        pv_hi = np.zeros((EBB, B_pad), np.uint32)
+        mv_lo = np.zeros((EBB, B_pad), np.uint32)
+        mv_hi = np.zeros((EBB, B_pad), np.uint32)
+        scores = np.zeros((K1, B_pad), np.int32)
         for j, st in enumerate(states):
             e = len(st.pv64)
             pv_lo[:e, j] = (st.pv64 & np.uint64(0xFFFFFFFF)) \
@@ -72,21 +88,50 @@ def _level_splits(split, fwd, rev):
             # the spec's out-of-dict fallback in the shifted frame
             k = np.arange(len(sk), K1)
             scores[len(sk):, j] = (k - st.prolog + 1) * 64
+        for j in range(len(states), B_pad):    # pad lanes: lane 0 copy
+            pv_lo[:, j] = pv_lo[:, 0]
+            pv_hi[:, j] = pv_hi[:, 0]
+            mv_lo[:, j] = mv_lo[:, 0]
+            mv_hi[:, j] = mv_hi[:, 0]
+            scores[:, j] = scores[:, 0]
         return pv_lo, pv_hi, mv_lo, mv_hi, scores
 
-    fp, rp = planes(fwd), planes(rev)
+    # The split op's inputs AND consumers are host numpy (band states
+    # from whichever venue ran the score passes); run it on the CPU
+    # backend — an accelerator adds upload/dispatch latency and, on
+    # remote-compile platforms, seconds of per-geometry compilation
+    # (measured 3.3 s/level on the axon tunnel). Cold geometries defer
+    # to the spec-path numpy loop while the op compiles in the
+    # background (utils/warmup); both paths are bit-exact.
+    import jax
 
-    def i32(xs):
+    from quicked_tpu.utils import warmup
+
+    cpu_dev = jax.devices("cpu")[0]
+    key = ("hsplit", B_pad, EBB, K1)
+
+    def _dev_call(args_np, EBB=EBB):
+        with jax.default_device(cpu_dev):
+            return hirschberg_split_batch(*args_np, EBB=EBB)
+
+    def i32(xs, pad0):
+        xs = list(xs)
+        xs += [xs[0] if xs else pad0] * (B_pad - len(xs))
         return np.asarray(xs, np.int32)
 
-    pll, sl, sr, ok = hirschberg_split_batch(
-        *fp[:4], i32([f.first for f in fwd]), i32([f.last for f in fwd]),
-        fp[4],
-        *rp[:4], i32([r.first for r in rev]), i32([r.last for r in rev]),
-        rp[4],
-        i32([f.prolog for f in fwd]), i32([len(f.pv64) for f in fwd]),
-        i32([len(t[3]) for t in split]), i32([len(t[2]) for t in split]),
-        EBB=EBB)
+    fp, rp = planes(fwd), planes(rev)
+    args_np = (
+        *fp[:4], i32([f.first for f in fwd], 0),
+        i32([f.last for f in fwd], 0), fp[4],
+        *rp[:4], i32([r.first for r in rev], 0),
+        i32([r.last for r in rev], 0), rp[4],
+        i32([f.prolog for f in fwd], 0),
+        i32([len(f.pv64) for f in fwd], 1),
+        i32([len(t[3]) for t in split], 1),
+        i32([len(t[2]) for t in split], 1))
+    if warmup.defer_cold(key, lambda: _dev_call(args_np)):
+        return _splits_np(split, fwd, rev)
+    pll, sl, sr, ok = _dev_call(args_np)
     pll, sl, sr, ok = (np.asarray(pll), np.asarray(sl), np.asarray(sr),
                        np.asarray(ok))
     return [(int(pll[j]), int(sl[j]), int(sr[j])) if ok[j] else None

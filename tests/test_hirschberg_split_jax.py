@@ -158,11 +158,15 @@ def test_level_splits_batch_path_matches_per_pair(monkeypatch):
     statuses, partial-CIGAR failure bytes, and full CIGARs."""
     from quicked_tpu.aligner import hirschberg as hmod
 
+    # run the batched op inline (no cold-shape deferral to the numpy
+    # path — this test exists to exercise the op through the driver)
+    monkeypatch.setenv("QUICKED_TPU_ASYNC_WARMUP", "0")
     pairs = list(generate.generate_pairs(10, 700, error=0.12, seed=37))
     pats = [p for p, _ in pairs]
     txts = [t for _, t in pairs]
     cutoffs = [max(len(p), len(t)) * 15 // 100 for p, t in pairs]
     monkeypatch.setattr(hmod, "HIRSCHBERG_BUFFER_SIZE", 1 << 14)
+    monkeypatch.setattr(hmod, "_SPLIT_BATCH_MIN", 8)
     res_batched = hmod.hirschberg_batch(txts, pats, cutoffs)
     monkeypatch.setattr(hmod, "_SPLIT_BATCH_MIN", 10 ** 9)
     res_per_pair = hmod.hirschberg_batch(txts, pats, cutoffs)
