@@ -312,7 +312,15 @@ def _calibrate_device_rate(family: str):
     # measured on exactly such a host.
     if _device_readback_mbps() < 500.0:
         return None
+    import logging
     import time
+
+    # The calibration batch is a real multi-second workload on mid-speed
+    # links; say so once instead of silently delaying the user's first
+    # routed call (results are cached for 7 days).
+    logging.getLogger("quicked_tpu").info(
+        "calibrating %s kernel rate on first use (one-off, cached)",
+        family)
 
     from quicked_tpu import generate
     from quicked_tpu.ops.batch_prep import prepare_banded_batch

@@ -33,8 +33,9 @@ def maybe_initialize_distributed() -> tuple[int, int]:
     try:
         from jax._src.distributed import global_state
         already = global_state.client is not None
-    except ImportError:       # private module moved: fall through to
-        pass                  # initialize() and its error filter
+    except (ImportError, AttributeError):  # private module moved or
+        pass                  # attribute renamed: fall through to
+                              # initialize() and its error filter
     if not already and os.environ.get("JAX_COORDINATOR_ADDRESS") and \
             os.environ.get("JAX_NUM_PROCESSES"):
         try:

@@ -98,6 +98,11 @@ class QuickedParams:
     column loop (the reference's runtime SIMD toggle,
     bpm_banded.c:1049-1059); the TPU kernels have a single vectorised
     implementation, so it only affects work routed to the host.
+    Like the reference's toggle it is a PROCESS-GLOBAL switch in the C
+    runtime: concurrent calls with different values race (last writer
+    wins for the overlap), and first-use calibration pins it off for
+    the duration of the probe. Results stay bit-exact either way
+    (scalar/vector parity is tested); only timing is affected.
     """
 
     algo: QuickedAlgo = QuickedAlgo.QUICKED
