@@ -160,6 +160,19 @@ def _lane_windows(arr, starts, COLS, B):
     return jnp.take_along_axis(arr, idx, axis=0)
 
 
+def _hsb32(y):
+    """Highest set bit index of uint32 lanes (garbage 0 for y == 0 —
+    callers mask). Exact 5-step binary search: the f32-exponent trick
+    mis-rounds 0xFFFFFFFF up to 2^32."""
+    p = jnp.zeros(y.shape, I32)
+    for k in (16, 8, 4, 2, 1):
+        t = y >> jnp.uint32(k)
+        big = t != 0
+        p = p + jnp.where(big, k, 0)
+        y = jnp.where(big, t, y)
+    return p
+
+
 def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                        tlen, num_words, hew_cells, *, WS: int, OVL: int,
                        full: bool = False, MAXOPS: int = 0):
@@ -170,7 +183,19 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
     right-to-left into a (MAXOPS, B) buffer (the reference's op_sentinel
     buffer), and returns (ops_buf, op_n, pos_v, pos_h) — the remaining
     boundary I/D runs are prepended host-side. Unjitted — shared by the
-    single-chip jit wrapper and the shard_map path (parallel/mesh.py)."""
+    single-chip jit wrapper and the shard_map path (parallel/mesh.py).
+
+    Score-only backtrace is a COLUMN SCAN, not a step walk: scanning
+    window columns descending, each active lane consumes its whole run
+    of D steps in one iteration (highest-zero-bit arithmetic on the
+    column's Pv words — the greedy D,I,M,X order means D repeats while
+    the Pv bit below the cursor is set) followed by the single
+    column-consuming I/M/X decision, with raw-char M-tests read from a
+    bitplane packed once per window. Zero per-lane gathers: round 3
+    measured the step walk's take_along_axis lowering to an
+    O(rows x lanes) one-hot sweep per step (PERFORMANCE.md), which made
+    the device kernel 0.17x the host C rate. Validated cell-exact vs
+    windowed_backtrace_score_only semantics (bpm_windowed.c:504-561)."""
     B = plen.shape[0]
     KP = peq_lo.shape[0]
     COLS = W * WS
@@ -226,6 +251,7 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                             jnp.full((WS, B), 0xFFFFFFFF, U32),
                             jnp.zeros((WS, B), U32))
         ph_first = jnp.where(v_min == 0, jnp.ones((B,), U32), zeros_u)
+        NW = 2 * WS
 
         def fill(carry, tp):
             pv_lo, pv_hi, mv_lo, mv_hi = carry
@@ -245,28 +271,18 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                 phin, mhin = phout, mhout
             out = (jnp.stack(npv_lo), jnp.stack(npv_hi),
                    jnp.stack(nmv_lo), jnp.stack(nmv_hi))
-            return out, out
+            if full:
+                return out, out
+            # Column-scan word layout (word 2i = block i lo, 2i+1 = hi):
+            # emit (Pv AFTER this column, Mv BEFORE it) = exactly the
+            # (PvW[c], MvW[c-1]) pair column c = tp + 1 backtraces with.
+            pv_w = jnp.stack([x for pr in zip(npv_lo, npv_hi) for x in pr])
+            mv_w = jnp.stack([x for pr in zip(mv_lo, mv_hi) for x in pr])
+            return out, (pv_w, mv_w)
 
         carry0 = (pv_init, pv_init, jnp.zeros((WS, B), U32),
                   jnp.zeros((WS, B), U32))
         _, snaps = jax.lax.scan(fill, carry0, jnp.arange(COLS, dtype=I32))
-        # Window matrix: column 0 = init state, column c = after text col c.
-        PvW_lo = jnp.concatenate([carry0[0][None], snaps[0]], axis=0)
-        PvW_hi = jnp.concatenate([carry0[1][None], snaps[1]], axis=0)
-        MvW_lo = jnp.concatenate([carry0[2][None], snaps[2]], axis=0)
-        MvW_hi = jnp.concatenate([carry0[3][None], snaps[3]], axis=0)
-        # Flatten (COLS+1, WS, B) -> ((COLS+1)*WS, B) for per-lane gathers.
-        flat = lambda a: a.reshape((COLS + 1) * WS, B)
-        fPv_lo, fPv_hi = flat(PvW_lo), flat(PvW_hi)
-        fMv_lo, fMv_hi = flat(MvW_lo), flat(MvW_hi)
-        # Pack the four window planes on a minor axis and both raw
-        # sequence windows on the row axis so each backtrace step does
-        # ONE gather for all plane words and ONE for both characters
-        # (six separate per-lane gathers per step were the measured
-        # cost of the sequential backtrace: 0.90 s marginal for a
-        # one-window 32768-lane batch, PERFORMANCE.md round 3).
-        fAll = jnp.stack([fPv_lo, fPv_hi, fMv_lo, fMv_hi], axis=1)
-        chars2 = jnp.concatenate([text_win_raw, pat_win_raw], axis=0)
 
         # ---- greedy in-window backtrace; score-only tie-break D,I,M,X
         # (windowed_backtrace_score_only, bpm_windowed.c:504-561); full
@@ -274,41 +290,46 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
         v_ovl = jnp.maximum(pv_pos - W * (WS - OVL) + 1, 0)
         h_ovl = jnp.maximum(ph_pos - W * (WS - OVL) + 1, 0)
 
-        def bt(carry, _):
-            if full:
+        if full:
+            # Window matrix: column 0 = init, column c = after text col c.
+            PvW_lo = jnp.concatenate([carry0[0][None], snaps[0]], axis=0)
+            PvW_hi = jnp.concatenate([carry0[1][None], snaps[1]], axis=0)
+            MvW_lo = jnp.concatenate([carry0[2][None], snaps[2]], axis=0)
+            MvW_hi = jnp.concatenate([carry0[3][None], snaps[3]], axis=0)
+            # Flatten (COLS+1, WS, B) -> ((COLS+1)*WS, B); pack the four
+            # planes on a minor axis and both raw sequence windows on the
+            # row axis so each step does ONE gather for all plane words
+            # and ONE for both characters.
+            flat = lambda a: a.reshape((COLS + 1) * WS, B)
+            fAll = jnp.stack([flat(PvW_lo), flat(PvW_hi),
+                              flat(MvW_lo), flat(MvW_hi)], axis=1)
+            chars2 = jnp.concatenate([text_win_raw, pat_win_raw], axis=0)
+
+            def bt(carry, _):
                 v, h, ops_buf, op_n = carry
-            else:
-                v, h, sc = carry
-            act = active & (v >= v_ovl) & (h >= h_ovl)
-            vv = jnp.maximum(v, 0)
-            hh = jnp.maximum(h, 0)
-            block = (vv - v_min) // W
-            bit = (vv - v_min) % W
-            col = hh - h_min + 1
-            idx_p = jnp.clip(col * WS + block, 0, (COLS + 1) * WS - 1)
-            idx_m = jnp.clip((col - 1) * WS + block, 0, (COLS + 1) * WS - 1)
-            words = jnp.take_along_axis(
-                fAll, jnp.stack([idx_p, idx_m])[:, None, :], axis=0)
-            pvb = u64.bit64(words[0, 0], words[0, 1], bit)
-            mvb = u64.bit64(words[1, 2], words[1, 3], bit)
-            cidx = jnp.stack([jnp.clip(hh - h_min, 0, COLS - 1),
-                              COLS + jnp.clip(vv - v_min, 0, COLS - 1)])
-            cc2 = jnp.take_along_axis(chars2, cidx, axis=0)
-            tchar, pchar = cc2[0], cc2[1]
-            if full:
+                act = active & (v >= v_ovl) & (h >= h_ovl)
+                vv = jnp.maximum(v, 0)
+                hh = jnp.maximum(h, 0)
+                block = (vv - v_min) // W
+                bit = (vv - v_min) % W
+                col = hh - h_min + 1
+                idx_p = jnp.clip(col * WS + block, 0, (COLS + 1) * WS - 1)
+                idx_m = jnp.clip((col - 1) * WS + block, 0,
+                                 (COLS + 1) * WS - 1)
+                words = jnp.take_along_axis(
+                    fAll, jnp.stack([idx_p, idx_m])[:, None, :], axis=0)
+                pvb = u64.bit64(words[0, 0], words[0, 1], bit)
+                mvb = u64.bit64(words[1, 2], words[1, 3], bit)
+                cidx = jnp.stack([jnp.clip(hh - h_min, 0, COLS - 1),
+                                  COLS + jnp.clip(vv - v_min, 0, COLS - 1)])
+                cc2 = jnp.take_along_axis(chars2, cidx, axis=0)
+                tchar, pchar = cc2[0], cc2[1]
                 is_m = tchar == pchar
                 is_d = (~is_m) & (pvb == 1)
                 is_i = (~is_m) & (~is_d) & (mvb == 1)
-            else:
-                is_d = pvb == 1
-                is_i = (~is_d) & (mvb == 1)
-                is_m = (~is_d) & (~is_i) & (tchar == pchar)
-            diag = ~is_d & ~is_i
-            dec_v = is_d | diag
-            dec_h = is_i | diag
-            v = jnp.where(act, v - dec_v.astype(I32), v)
-            h = jnp.where(act, h - dec_h.astype(I32), h)
-            if full:
+                diag = ~is_d & ~is_i
+                v = jnp.where(act, v - (is_d | diag).astype(I32), v)
+                h = jnp.where(act, h - (is_i | diag).astype(I32), h)
                 code = jnp.where(is_m, 1,
                                  jnp.where(is_d, 2, jnp.where(is_i, 3, 4)))
                 slot = jnp.clip(MAXOPS - 1 - op_n, 0, MAXOPS - 1)
@@ -318,23 +339,79 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                     jnp.where(act, code, 0).astype(jnp.int8))
                 op_n = op_n + act.astype(I32)
                 return (v, h, ops_buf, op_n), None
-            dsc = jnp.where(is_m, 0, 1)
-            sc = jnp.where(act, sc + dsc, sc)
-            return (v, h, sc), None
 
-        if full:
             (v_f, h_f, ops_buf, op_n), _ = jax.lax.scan(
                 bt, (pos_v, pos_h, ops_buf, op_n), None, length=MAXSTEPS)
-        else:
-            (v_f, h_f, sc_f), _ = jax.lax.scan(
-                bt, (pos_v, pos_h, jnp.zeros((B,), I32)), None,
-                length=MAXSTEPS)
-            hew = hew + (active & (sc_f > hew_cells)).astype(I32)
-            score = score + jnp.where(active, sc_f, 0)
-        pos_v = jnp.where(active, v_f, pos_v)
-        pos_h = jnp.where(active, h_f, pos_h)
-        if full:
+            pos_v = jnp.where(active, v_f, pos_v)
+            pos_h = jnp.where(active, h_f, pos_h)
             return (pos_v, pos_h, ops_buf, op_n)
+
+        # ---- score-only COLUMN-SCAN backtrace (zero per-lane gathers).
+        pv_cols, mv_cols = snaps                     # (COLS, NW, B) u32
+        # Raw-char match bitplane: bit (32w + j) of word w at column tp
+        # answers "pat_win_raw[32w + j] == text_win_raw[tp]" — packed
+        # once per window; the per-step one-hot char gather was the
+        # other half of the round-3 backtrace cost.
+        mm = pat_win_raw[:, None, :] == text_win_raw[None, :, :]
+        w32 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        match_cols = (mm.astype(U32).reshape(NW, 32, COLS, B)
+                      * w32[None, :, None, None]).sum(axis=1, dtype=U32)
+        match_cols = match_cols.transpose(1, 0, 2)   # (COLS, NW, B)
+
+        v_ovl_rel = v_ovl - v_min
+        h_ovl_rel = h_ovl - h_min
+
+        def btstep(carry, xs):
+            vr, h_rel, sc = carry
+            c, pvw, mvw, mw = xs
+            act = (active & (h_rel == c - 1) & (vr >= v_ovl_rel)
+                   & (h_rel >= h_ovl_rel))
+            vru = jnp.clip(vr, 0, COLS - 1)
+            # D-run: greedy D repeats while the Pv bit below the cursor
+            # is set, so its length is cursor - highest ZERO Pv bit at or
+            # below it (clamped by the v>=v_overlap step bound).
+            hz = jnp.full((B,), -1, I32)
+            for w in range(NW):
+                d = vru - 32 * w
+                dc = jnp.clip(d, 0, 30).astype(U32)
+                m = jnp.where(d >= 31, jnp.uint32(0xFFFFFFFF),
+                              jnp.where(d < 0, jnp.uint32(0),
+                                        (jnp.uint32(2) << dc)
+                                        - jnp.uint32(1)))
+                y = (~pvw[w]) & m
+                hz = jnp.where(y != 0, 32 * w + _hsb32(y), hz)
+            run_raw = vru - hz
+            max_run = vru - v_ovl_rel + 1
+            run = jnp.minimum(run_raw, max_run)
+            ended = run == max_run          # window exit mid-run
+            v1 = vru - run
+            # trailing column-consuming step at (v1, h): I if the
+            # PREVIOUS column's Mv bit is set, else M/X by raw match
+            v1u = jnp.clip(v1, 0, COLS - 1)
+            wsel = v1u >> 5
+            bsel = (v1u & 31).astype(U32)
+            ib = jnp.zeros((B,), U32)
+            mb = jnp.zeros((B,), U32)
+            for w in range(NW):
+                hit = wsel == w
+                ib = jnp.where(hit, (mvw[w] >> bsel) & jnp.uint32(1), ib)
+                mb = jnp.where(hit, (mw[w] >> bsel) & jnp.uint32(1), mb)
+            is_i = ib == 1
+            step_sc = jnp.where(is_i, 1, jnp.where(mb == 1, 0, 1))
+            sc = sc + jnp.where(act, run + jnp.where(ended, 0, step_sc), 0)
+            vr = jnp.where(act, jnp.where(ended, v1,
+                                          v1 - jnp.where(is_i, 0, 1)), vr)
+            h_rel = jnp.where(act & ~ended, h_rel - 1, h_rel)
+            return (vr, h_rel, sc), None
+
+        cs = jnp.arange(1, COLS + 1, dtype=I32)
+        (vr_f, hr_f, sc_f), _ = jax.lax.scan(
+            btstep, (pv_pos - v_min, ph_pos - h_min, jnp.zeros((B,), I32)),
+            (cs, pv_cols, mv_cols, match_cols), reverse=True)
+        hew = hew + (active & (sc_f > hew_cells)).astype(I32)
+        score = score + jnp.where(active, sc_f, 0)
+        pos_v = jnp.where(active, v_min + vr_f, pos_v)
+        pos_h = jnp.where(active, h_min + hr_f, pos_h)
         return (pos_v, pos_h, score, hew)
 
     if full:

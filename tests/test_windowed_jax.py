@@ -79,6 +79,38 @@ def test_windowed_jax_full_cigar_parity(ws, ovl, length, error, seed, ldiff):
         assert ops[i] == mops, (i, p, t)
 
 
+@pytest.mark.parametrize("ws,ovl", [(2, 1), (3, 1), (2, 0)])
+def test_windowed_jax_extreme_indels(ws, ovl):
+    """Long D/I runs: the column-scan backtrace consumes whole D runs
+    with bit arithmetic (run clamping at the v-overlap exit, block-
+    crossing runs) — drive it with patterns that are pure deletions /
+    insertions of each other, plus N-char raw-compare cases."""
+    rng = np.random.default_rng(31 + ws)
+    pats, txts = [], []
+    for k in range(3):
+        pl = int(rng.integers(150, 400))
+        tl = int(rng.integers(5, pl // 2))
+        p = "".join(rng.choice(list("ACGT"), pl))
+        tp = int(rng.integers(0, pl - tl + 1))
+        pats.append(p)
+        txts.append(p[tp:tp + tl])               # deletion-heavy
+    for k in range(2):
+        tl = int(rng.integers(150, 400))
+        pl = int(rng.integers(5, tl // 2))
+        t = "".join(rng.choice(list("ACGTN"), tl))
+        pats.append(t[:pl].replace("A", "N"))    # insertion-heavy + N
+        txts.append(t)
+    pats.append("A" * 200)                       # all-D column runs
+    txts.append("C" * 3)
+    batch = _prep(pats, txts, ws)
+    score, hew = run_windowed_score(batch, 40, ws, ovl)
+    for i, (p, t) in enumerate(zip(pats, txts)):
+        ms, _, mhew = myers_np.windowed_compute(p, t, 40, ws, ovl,
+                                                score_only=True)
+        assert score[i] == ms, (i, len(p), len(t))
+        assert hew[i] == mhew, (i, len(p), len(t))
+
+
 def test_windowed_jax_short_pairs():
     # Pairs much shorter than one window.
     pairs = _pairs(4, 30, 0.1, 14) + _pairs(2, 64, 0.2, 15)
