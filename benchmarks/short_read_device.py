@@ -145,6 +145,61 @@ def main():
         "traceback_pairs_per_s": round(SUB / tb_s, 1),
     }), flush=True)
 
+    # ---- 1b. ON-DEVICE traceback lane: fill + records kernel chained.
+    # Planes stay in HBM; readback is (d_run u16, op i8) per column.
+    from quicked_tpu.aligner.batch import _raw_bytes, _run_device_full_tb
+    from quicked_tpu.ops import banded_traceback_jax as btj
+
+    T = statics["NB"] * 64
+    maxp = max(len(p) for p in pats)
+    PP = max(32, 1 << max(maxp - 1, 1).bit_length())
+    praw_np, traw_np = btj.prep_raw_frames(
+        [_raw_bytes(p).tobytes() for p in pats],
+        [_raw_bytes(t).tobytes() for t in txts], T, PP,
+        pad_to_b=batch.B)
+    praw_d, traw_d = jnp.asarray(praw_np), jnp.asarray(traw_np)
+    plen_d = jnp.asarray(batch.plen.astype(np.int32))
+    tlen_d = jnp.asarray(batch.tlen.astype(np.int32))
+    prolog_d = jnp.asarray(batch.prolog.astype(np.int32))
+
+    def fill_tb_once():
+        o = run_staged(tiled, statics)
+        r = btj._records_from_tiled(
+            o[7], o[8], o[9], o[10], praw_d, traw_d, plen_d, tlen_d,
+            prolog_d, EBB=statics["EBB8"], PP=PP)
+        return r[0]
+
+    t0 = time.perf_counter()
+    np.asarray(fill_tb_once())
+    log(f"first fill+records run (compile+exec) "
+        f"{time.perf_counter() - t0:.2f}s")
+    tbbest, tbone = marginal(fill_tb_once)
+    rec = btj._records_from_tiled(
+        out[7], out[8], out[9], out[10], praw_d, traw_d, plen_d, tlen_d,
+        prolog_d, EBB=statics["EBB8"], PP=PP)
+    rec_np = jax.device_get(list(rec))
+    rec_bytes = sum(int(np.asarray(r).nbytes) for r in rec_np)
+    t0 = time.perf_counter()
+    ops_dev = btj.expand_records(rec_np[0].astype(np.int32), rec_np[1],
+                                 rec_np[2], rec_np[3], n=N_PAIRS)
+    expand_s = time.perf_counter() - t0
+    # parity of the full on-device lane on the sub-batch
+    sc_tb, ops_tb = _run_device_full_tb(
+        sub_batch, [_raw_bytes(p).tobytes() for p in pats[:SUB]],
+        [_raw_bytes(t).tobytes() for t in txts[:SUB]], SUB)
+    tb_parity = bool(np.array_equal(sc_tb[:SUB], ref_sc)) and \
+        list(ops_tb) == list(ref_ops)
+    print(json.dumps({
+        "metric": "w3_device_fill_plus_records",
+        "pairs": N_PAIRS,
+        "kernel_s": round(tbbest, 5),
+        "single_call_s": round(tbone, 4),
+        "pairs_per_s": round(N_PAIRS / tbbest, 1),
+        "records_bytes": rec_bytes,
+        "expand_host_s": round(expand_s, 4),
+        "parity": tb_parity,
+    }), flush=True)
+
     # ---- 2. windowed score bound kernel (stage-1), staged arrays
     from quicked_tpu.ops.windowed_jax import (_windowed_scan,
                                               hew_cell_threshold,
@@ -216,6 +271,30 @@ def main():
         row["vs_c_1thread"] = round(cpu_s / proj, 2)
         row["kernel_vs_c_1thread"] = round(
             (N_PAIRS / best) / (N_PAIRS / cpu_s), 2)
+    print(json.dumps(row), flush=True)
+
+    # ---- 4b. PCIe projection of the ON-DEVICE traceback lane: planes
+    # never cross the link; records + raw frames do.
+    raw_up = praw_np.nbytes + traw_np.nbytes
+    proj_tb = (0.002                                  # two dispatches
+               + (bytes_up + raw_up) / PCIE_BYTES_PER_S
+               + tbbest                               # fill + records
+               + rec_bytes / PCIE_BYTES_PER_S
+               + expand_s)                            # host expansion
+    row = {
+        "metric": "w3_device_tb_lane_pcie_projection",
+        "pairs": N_PAIRS,
+        "projected_s": round(proj_tb, 4),
+        "projected_pairs_per_s": round(N_PAIRS / proj_tb, 1),
+        "terms": {
+            "stage_bytes": bytes_up + raw_up,
+            "fill_records_kernel_s": round(tbbest, 4),
+            "records_readback_s": round(rec_bytes / PCIE_BYTES_PER_S, 4),
+            "expand_s": round(expand_s, 4),
+        },
+    }
+    if cpu_s:
+        row["vs_c_1thread"] = round(cpu_s / proj_tb, 2)
     print(json.dumps(row), flush=True)
 
 

@@ -117,6 +117,14 @@ _PROBE_LOCK = threading.RLock()
 # 187 s device-full vs sub-second host-full through the tunnel.
 FULL_DEVICE_MIN_MBPS = 250.0
 
+# With the ON-DEVICE traceback (QUICKED_TPU_DEVICE_TB=1, the default)
+# the planes never leave HBM: readback shrinks to ~3 bytes/column of
+# (d_run, op) records (~87x less on the 30 kbp base case above) plus a
+# small raw-frame upload. Break-even scales accordingly; 25 MB/s keeps
+# a ~2x margin for the records kernel's extra dispatch. The dev tunnel
+# (~20 MB/s) still stays on host C end-to-end — correctly.
+FULL_DEVICE_TB_MIN_MBPS = 25.0
+
 
 _PROBE_TTL_S = 900.0  # link conditions drift (tunnel wedges, load)
 
@@ -598,6 +606,44 @@ def _traceback_tiled(mats_tiled, lanes, batch, sub, patterns, texts):
         [int(batch.prolog[j]) for j in range(len(sub))])
 
 
+def _run_device_full_tb(batch, praws, traws, n_live):
+    """Device full fill + ON-DEVICE traceback: the band planes never
+    leave HBM; only final scores and compact (d_run, opcode) column
+    records cross the link (~3 bytes/column vs 16*EBB bytes/column of
+    raw planes — the readback that made the device full lane lose
+    end-to-end on PCIe hosts, VERDICT r3). The walk is the column-scan
+    reproduction of banded_backtrace_matrix_cutoff
+    (bpm_banded.c:967-1036); see ops/banded_traceback_jax.py."""
+    import numpy as np
+
+    from quicked_tpu.ops import banded_traceback_jax as btj
+    from quicked_tpu.ops.banded_pallas import (collect_outputs, run_staged,
+                                               stage_batch)
+
+    tiled, statics = stage_batch(batch)
+    out = run_staged(tiled, statics)
+    sc_statics = dict(statics)
+    sc_statics["FULL"] = False          # planes are consumed on-device
+    res = collect_outputs(out[:7], sc_statics)
+    sc = extract_final_scores(batch, res["scores_by_k"])
+    T = statics["NB"] * W
+    maxp = max((len(p) for p in praws), default=1)
+    PP = max(32, 1 << max(maxp - 1, 1).bit_length())    # pow2 buckets
+    total = out[7].shape[0] * statics["LANES"]          # padded lanes
+
+    def padv(a):
+        v = np.zeros(total, np.int32)
+        v[:a.shape[0]] = a
+        return v
+
+    praw_np, traw_np = btj.prep_raw_frames(praws, traws, T, PP,
+                                           pad_to_b=total)
+    ops = btj.traceback_ops_from_tiled(
+        out[7:11], praw_np, traw_np, padv(batch.plen), padv(batch.tlen),
+        padv(batch.prolog), EBB=statics["EBB8"], n=n_live)
+    return sc, ops
+
+
 def _lane_pad(n_live: int, ebb_p2: int, min_lanes: int) -> int:
     """Padded lane count for a bucket. Shallow buckets keep the
     min_lanes floor (bounds XLA compile variants for the lane-vector
@@ -633,21 +679,27 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             run_banded_full_native,
         )
 
-        # Venue choice for full (traceback) fills: the device kernel is
-        # faster at filling, but its band planes must come back to the
-        # host for the traceback walk, so it only wins when the
-        # device->host link clears FULL_DEVICE_MIN_MBPS (one-time
-        # probe). QUICKED_TPU_FULL_DEVICE=1/0 force-overrides either
-        # way. Platform check first: importing the pallas module costs
+        # Venue choice for full (traceback) fills. Default path: the
+        # traceback runs ON DEVICE too (column-scan records kernel) and
+        # only ~3 bytes/column of (d_run, op) records come back, so the
+        # link only has to clear FULL_DEVICE_TB_MIN_MBPS. With
+        # QUICKED_TPU_DEVICE_TB=0 (plane readback + host C walk) the
+        # old FULL_DEVICE_MIN_MBPS break-even applies.
+        # QUICKED_TPU_FULL_DEVICE=1/0 force-overrides either way.
+        # Platform check first: importing the pallas module costs
         # >1 s, which CPU-only hosts should never pay.
         env = os.environ.get("QUICKED_TPU_FULL_DEVICE")
         if ACTIVE_MESH is None and \
                 jax.devices()[0].platform == "tpu" and native_available() \
                 and env != "0":
             from quicked_tpu.ops.banded_pallas import pallas_available
+            min_mbps = (FULL_DEVICE_TB_MIN_MBPS
+                        if os.environ.get("QUICKED_TPU_DEVICE_TB",
+                                          "1") == "1"
+                        else FULL_DEVICE_MIN_MBPS)
             device_full = pallas_available() and (
                 env == "1"
-                or _device_readback_mbps() >= FULL_DEVICE_MIN_MBPS)
+                or _device_readback_mbps() >= min_mbps)
         if not device_full and native_available() and ACTIVE_MESH is None:
             # no accelerator: the per-pair C fill+traceback is the
             # fastest host path
@@ -708,10 +760,24 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
             if device_full:
                 from quicked_tpu.ops.banded_pallas import run_banded_pallas
                 from quicked_tpu.utils import warmup
-                key = ("full_pallas", batch.B, batch.EBB, batch.NB,
+
+                # On-device traceback (default): planes stay in HBM and
+                # only (d_run, op) records come back. =0 restores the
+                # plane-readback + host C walk path.
+                use_tb = os.environ.get("QUICKED_TPU_DEVICE_TB",
+                                        "1") == "1"
+                if use_tb:
+                    praws = [_raw_bytes(patterns[i]).tobytes()
+                             for i in sub]
+                    traws = [_raw_bytes(texts[i]).tobytes() for i in sub]
+                    runner = lambda b=batch: _run_device_full_tb(
+                        b, praws, traws, len(sub))
+                else:
+                    runner = lambda b=batch: run_banded_pallas(b)
+                key = ("full_pallas_tb" if use_tb else "full_pallas",
+                       batch.B, batch.EBB, batch.NB,
                        int(batch.text.shape[-1]))
-                if warmup.defer_cold(key,
-                                     lambda b=batch: run_banded_pallas(b)):
+                if warmup.defer_cold(key, runner):
                     # cold shape: per-pair host C fill+traceback now,
                     # device kernel compiles in the background
                     # (device_full implies native_available)
@@ -722,6 +788,15 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                     for j, i in enumerate(sub):
                         scores[i] = sc_nat[j]
                         ops_out[i] = ops_nat[j]
+                    continue
+                if use_tb:
+                    _venue("full_pallas_tb")
+                    sc_dev, ops_dev = _run_device_full_tb(
+                        batch, praws, traws, len(sub))
+                    warmup.mark_warm(key)
+                    for j, i in enumerate(sub):
+                        scores[i] = sc_dev[j]
+                        ops_out[i] = ops_dev[j]
                     continue
                 _venue("full_pallas")
                 out = run_banded_pallas(batch)

@@ -76,6 +76,27 @@ def test_pallas_full_traceback_matches_model():
         assert ops[i] == expect
 
 
+def test_pallas_full_device_traceback_matches_model():
+    """The on-device traceback lane (fill + column-scan walk, planes
+    never leave the device): scores and CIGARs vs the exact model."""
+    from quicked_tpu.aligner.batch import _raw_bytes, _run_device_full_tb
+    from quicked_tpu.ops import myers_np
+
+    pairs = _pairs(4, 180, 0.15, 9) + _pairs(2, 120, 0.05, 10, 1.2)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    cutoffs = [max(len(p), len(t)) * 30 // 100 for p, t in pairs]
+    batch = prepare_banded_batch(pats, txts, cutoffs, full=True)
+    praws = [_raw_bytes(p).tobytes() for p in pats]
+    traws = [_raw_bytes(t).tobytes() for t in txts]
+    sc, ops = _run_device_full_tb(batch, praws, traws, len(pairs))
+    for i in range(len(pairs)):
+        exp_sc, expect = myers_np.banded_align(pats[i], txts[i],
+                                               int(cutoffs[i]))
+        assert ops[i] == expect, i
+        assert sc[i] == exp_sc, i
+
+
 def test_pallas_lane_padding():
     # fewer pairs than one lane tile: padding must not disturb results
     assert LANES == 1024
