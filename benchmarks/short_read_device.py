@@ -248,7 +248,7 @@ def main():
     # ---- 4. PCIe-class end-to-end projection (venue-model terms)
     bytes_up = (batch.peq_lo.nbytes + batch.peq_hi.nbytes
                 + batch.lm_lo.nbytes + batch.lm_hi.nbytes
-                + batch.text.nbytes)
+                + batch.text.nbytes // 4)      # text stages packed
     traceback_s = N_PAIRS / (SUB / tb_s)   # measured threaded C rate
     proj = (0.001                                   # dispatch
             + bytes_up / PCIE_BYTES_PER_S           # stage in

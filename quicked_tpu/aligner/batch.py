@@ -355,9 +355,11 @@ def _calibrate_device_rate(family: str):
         t0 = time.perf_counter()
         np.asarray(run(batch)["first"])         # materialize: honest time
         best = min(best, time.perf_counter() - t0)
+    # text stages packed 4 chars/word in the pallas/sysband families
+    # (cscan still unpacked — estimate stays conservative for it)
     bytes_up = (batch.peq_lo.nbytes + batch.peq_hi.nbytes
                 + batch.lm_lo.nbytes + batch.lm_hi.nbytes
-                + batch.text.nbytes)
+                + batch.text.nbytes // 4)
     overhead = _device_dispatch_s() + bytes_up / (_device_readback_mbps()
                                                   * 1e6)
     kern = best - overhead
@@ -429,9 +431,11 @@ def _score_device_est_s(batch, adv: float, kernel_adv_per_s: float) -> float:
     input staging over the measured link + kernel time. The staging
     term is what high-latency links are actually bound by (the PEQ/
     level-mask/text planes upload on every engine call)."""
+    # text stages packed 4 chars/word in the pallas/sysband families
+    # (cscan still unpacked — estimate stays conservative for it)
     bytes_up = (batch.peq_lo.nbytes + batch.peq_hi.nbytes
                 + batch.lm_lo.nbytes + batch.lm_hi.nbytes
-                + batch.text.nbytes)
+                + batch.text.nbytes // 4)
     link = _device_readback_mbps() * 1e6
     return (_device_dispatch_s() + bytes_up / link
             + adv / kernel_adv_per_s)
@@ -894,6 +898,104 @@ def banded_score_results(patterns, texts, cutoffs, text_finish=None,
                 first=int(out["first"][j]), last=int(out["last"][j]),
                 scores_k=sck[j], prolog=int(batch.prolog[j]),
                 geometry=geos[i])
+    return results
+
+
+def _hsplit_fused_pallas(batch):
+    """Pallas score kernel + on-device split epilogue over an
+    interleaved fwd/rev level batch; returns 4 numpy vectors
+    (pll, score_l, score_r, feasible) per task."""
+    import jax
+    import jax.numpy as jnp
+
+    from quicked_tpu.ops.banded_pallas import run_staged, stage_batch
+    from quicked_tpu.ops.hirschberg_split_jax import hsplit_epilogue_tiled
+
+    tiled, statics = stage_batch(batch)
+    out = run_staged(tiled, statics)
+    total = out[0].shape[0] * statics["LANES"]
+
+    def padv(a):
+        v = np.zeros(total, np.int32)
+        v[:a.shape[0]] = a
+        return v
+
+    res = hsplit_epilogue_tiled(
+        out[0], out[1], out[2], out[3], out[4], out[5], out[6],
+        jnp.asarray(padv(batch.prolog)), jnp.asarray(padv(batch.plen)),
+        jnp.asarray(padv(batch.tlen)), EBB=statics["EBB"],
+        EBB8=statics["EBB8"])
+    return [np.asarray(x) for x in jax.device_get(list(res))]
+
+
+def hirschberg_level_splits_device(pats, txts, cos, mids, mids_r):
+    """Device-fused Hirschberg split level: run the forward+reverse
+    score passes AND the midpoint epilogue on device, reading back only
+    O(tasks) split tuples — instead of per-level band planes
+    (bpm_hirschberg.c:149-200's consumption, fused after the kernel).
+
+    Returns a per-task list of (pll, score_l, score_r) | None, or None
+    when the fused path doesn't apply (CPU host, deep bands, host-
+    preferred venue, or a cold shape warming in the background) — the
+    caller then takes the banded_score_results + _level_splits path.
+    Both paths are bit-exact with the spec."""
+    if os.environ.get("QUICKED_TPU_HSPLIT_DEVICE", "1") != "1":
+        return None
+    import jax
+
+    on_mesh = ACTIVE_MESH is not None
+    if not on_mesh and jax.devices()[0].platform != "tpu":
+        return None
+    n = len(pats)
+    by_key: dict = {}
+    for i in range(n):
+        geo = myers_np.band_geometry(len(pats[i]), len(txts[i]),
+                                     int(cos[i]))
+        ebb = myers_np.div_ceil(geo.cutoff, W) + 1
+        nb = max(myers_np.div_ceil(max(int(mids[i]), int(mids_r[i])), W),
+                 1)
+        by_key.setdefault((_next_pow2(nb), _next_pow2(ebb)), []).append(i)
+    results: list = [None] * n
+    from quicked_tpu.utils import warmup
+
+    for (nb_p2, ebb_p2), idxs in by_key.items():
+        if ebb_p2 > PALLAS_MAX_EBB:
+            return None     # deep bands route to cscan/sysband: not fused
+        m = len(idxs)
+        pats_il, txts_il, cos_il, fins_il = [], [], [], []
+        for i in idxs:
+            # interleaved halves: task j -> lanes 2j (fwd), 2j+1 (rev),
+            # so both halves co-locate on one shard under lane sharding
+            pats_il += [pats[i], pats[i][::-1]]
+            txts_il += [txts[i], txts[i][::-1]]
+            cos_il += [int(cos[i])] * 2
+            fins_il += [int(mids[i]), int(mids_r[i])]
+        b_pad = _lane_pad(2 * m, ebb_p2, 8)
+        if on_mesh:
+            b_pad = max(b_pad, 2 * int(ACTIVE_MESH.devices.size))
+        batch = prepare_banded_batch(
+            pats_il, txts_il, cos_il, full=False, text_finish=fins_il,
+            pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
+        if on_mesh:
+            from quicked_tpu.parallel.mesh import run_level_splits_sharded
+            _venue("hsplit_mesh")
+            pll, sl, sr, ok = run_level_splits_sharded(batch, ACTIVE_MESH)
+        else:
+            from quicked_tpu.ops.banded_native import (
+                native_available as _host_ok,
+            )
+            if _host_ok() and batch.enc_patterns is not None and \
+                    _prefer_host_shallow(batch, 2 * m):
+                return None        # host venue wins this level's passes
+            key = ("hsplit_fused", batch.B, batch.EBB, batch.NB)
+            if warmup.defer_cold(key, lambda b=batch: _hsplit_fused_pallas(b)):
+                return None        # cold shape: numpy path this time
+            _venue("hsplit_device")
+            pll, sl, sr, ok = _hsplit_fused_pallas(batch)
+            warmup.mark_warm(key)
+        for j, i in enumerate(idxs):
+            results[i] = ((int(pll[j]), int(sl[j]), int(sr[j]))
+                          if ok[j] else None)
     return results
 
 

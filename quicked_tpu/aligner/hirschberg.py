@@ -189,21 +189,32 @@ def hirschberg_batch(texts, patterns, cutoffs):
             cos = [t[4] for t in split]
             mids = [(len(t[2]) + 1) // 2 for t in split]
             mids_r = [len(t[2]) - m for t, m in zip(split, mids)]
-            # the forward and reverse half passes are independent and
-            # share geometry, so they merge into ONE score batch: a
-            # single kernel dispatch per level (halves the per-level
-            # dispatch+upload cost on device venues), and on the host
-            # venue the native batch kernel splits its thread pool
-            # across the 2N lanes itself (intra = threads/lanes,
-            # bpm_hirschberg.c:84-100's concurrency without
-            # oversubscription)
-            both = banded_score_results(
-                pats + [p[::-1] for p in pats],
-                txts + [t[::-1] for t in txts],
-                cos + cos, text_finish=mids + mids_r)
-            fwd, rev = both[:len(split)], both[len(split):]
-            splits = _level_splits(split, fwd, rev)
-            for t, f, r, mid, sp in zip(split, fwd, rev, mids, splits):
+            # Device-routed levels fuse the split epilogue after the
+            # score kernel and read back O(tasks) tuples instead of
+            # band planes (batch.hirschberg_level_splits_device); when
+            # that path declines (CPU host, deep bands, host venue,
+            # cold shape) fall back to the band-state flow below.
+            from quicked_tpu.aligner.batch import (
+                hirschberg_level_splits_device,
+            )
+            splits = hirschberg_level_splits_device(pats, txts, cos,
+                                                    mids, mids_r)
+            if splits is None:
+                # the forward and reverse half passes are independent
+                # and share geometry, so they merge into ONE score
+                # batch: a single kernel dispatch per level (halves the
+                # per-level dispatch+upload cost on device venues), and
+                # on the host venue the native batch kernel splits its
+                # thread pool across the 2N lanes itself (intra =
+                # threads/lanes, bpm_hirschberg.c:84-100's concurrency
+                # without oversubscription)
+                both = banded_score_results(
+                    pats + [p[::-1] for p in pats],
+                    txts + [t[::-1] for t in txts],
+                    cos + cos, text_finish=mids + mids_r)
+                fwd, rev = both[:len(split)], both[len(split):]
+                splits = _level_splits(split, fwd, rev)
+            for t, mid, sp in zip(split, mids, splits):
                 i, path, text, pattern, cutoff = t
                 if sp is None:
                     status[i] = QuickedStatus.QUICKED_FAIL_NON_CONVERGENCE

@@ -125,8 +125,11 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
                     for q, (s, m) in enumerate(zip(snaps, mats))]
 
     def advance_col(j):
-        """Advance one text column j (0..63) over the live band."""
-        c = text_ref[0, j, :]
+        """Advance one text column j (0..63) over the live band. Text
+        arrives PACKED (4 chars per little-endian i32 word — a 4x
+        staging-upload cut; chars are 0..4 so the word is always
+        non-negative and the arithmetic shift is safe)."""
+        c = (text_ref[0, j // 4, :] >> (8 * (j % 4))) & 0xFF
         t_global = nb * W + j
         col_act = t_global < tfinish
 
@@ -321,8 +324,8 @@ def _pallas_banded(peq_lo, peq_hi, lm_lo, lm_hi, text, init_scores,
         interpret=interpret,
         in_specs=[
             hbm, hbm, hbm, hbm,                                # peq/lm
-            pl.BlockSpec((1, W, LANES), lambda p, nb: (p, nb, 0),
-                         memory_space=pltpu.VMEM),              # text
+            pl.BlockSpec((1, W // 4, LANES), lambda p, nb: (p, nb, 0),
+                         memory_space=pltpu.VMEM),     # text (packed 4/word)
             pl.BlockSpec((1, EBB + 1, LANES), lambda p, nb: (p, 0, 0),
                          memory_space=pltpu.VMEM),              # init
             lanevec, lanevec, lanevec, lanevec, lanevec,       # consts
@@ -373,7 +376,7 @@ def _lanes_for(EBB8: int, NB: int, snapshot_rows: int, floor: int) -> int:
                     + EBB8 * 4           # pv/mv band state
                     + (EBB8 + 1) + 2     # scw + first/last
                     + snapshot_rows)
-    block_rows = (64                     # text
+    block_rows = (16                     # text (packed 4 chars/word)
                   + (EBB8 + 1)           # init_scores
                   + 8                    # lane-vector consts
                   + (NB + EBB8 + 1)      # scores out
@@ -452,10 +455,15 @@ def stage_batch(batch: BandedBatch, lanes: int | None = None):
     # dead lanes — cutoff/nbr at their minima and an empty live range
     # (first0 > last0) so blk_lo = min(first) ignores them
     pad_fills = {"cutoff": 65, "nbr": 1, "first0": EBB8 - 1}
+    # pack 4 text chars (values 0..4) per little-endian i32 word: text
+    # is the dominant staging upload (4 bytes/char unpacked) and the
+    # kernel unpacks with one shift+mask per column
+    t8 = np.ascontiguousarray(batch.text.T.astype(np.uint8))
+    text_packed = t8.view("<u4").astype(np.int32).T
     args_2d = dict(
         peq_lo=pad_rows(batch.peq_lo), peq_hi=pad_rows(batch.peq_hi),
         lm_lo=pad_rows(batch.lm_lo), lm_hi=pad_rows(batch.lm_hi),
-        text=batch.text, init_scores=init_scores,
+        text=text_packed, init_scores=init_scores,
         cutoff=batch.cutoff, prolog=batch.prolog, nbr=batch.nbr,
         finish_v=batch.finish_v, tfinish=batch.tfinish,
         first0=batch.first0, last0=batch.last0)

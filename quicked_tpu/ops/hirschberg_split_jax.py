@@ -144,3 +144,45 @@ def hirschberg_split_batch(pv_lo, pv_hi, mv_lo, mv_hi,
         cs_at(csr, score_pos_r) + score_row(r_scores, block_ref_r - 1)
 
     return pll, score_l, score_r, feasible
+
+
+@partial(jax.jit, static_argnames=("EBB",))
+def hsplit_epilogue_interleaved(scores, pv_lo, pv_hi, mv_lo, mv_hi,
+                                first, last, prolog, plen, tlen, *,
+                                EBB: int):
+    """Split epilogue over an INTERLEAVED fwd/rev score batch (lanes
+    [f0, r0, f1, r1, ...] — the layout that also keeps each task's two
+    halves on one shard under lane sharding). Inputs are the score
+    kernel's untiled outputs plus per-lane prolog / full pattern / full
+    text lengths; returns per-task (pll, score_l, score_r, feasible)."""
+    f = lambda a: a[..., 0::2]
+    r = lambda a: a[..., 1::2]
+    planes = (pv_lo, pv_hi, mv_lo, mv_hi)
+    ebbv = jnp.full(f(first).shape, EBB, I32)
+    return hirschberg_split_batch(
+        *(f(p) for p in planes), f(first), f(last), f(scores),
+        *(r(p) for p in planes), r(first), r(last), r(scores),
+        f(prolog), ebbv, f(plen), f(tlen), EBB=EBB)
+
+
+@partial(jax.jit, static_argnames=("EBB", "EBB8"))
+def hsplit_epilogue_tiled(scores, pv_lo, pv_hi, mv_lo, mv_hi, first,
+                          last, prolog, plen, tlen, *, EBB: int,
+                          EBB8: int):
+    """Tiled front end: consumes the Pallas score kernel's lane-tiled
+    outputs IN PLACE on device (scores (P, K+1, LANES), planes
+    (P, EBB8, LANES), first/last (P, 1, LANES)) so a device-routed
+    Hirschberg level reads back O(lanes) split tuples instead of band
+    planes (bpm_hirschberg.c:149-200's consumption, fused)."""
+    def untile(a):
+        Pn, R, L = a.shape
+        return jnp.moveaxis(a, 0, 1).reshape(R, Pn * L)
+
+    sc = untile(scores)
+    pv_lo, pv_hi, mv_lo, mv_hi = (untile(x)[:EBB] for x in
+                                  (pv_lo, pv_hi, mv_lo, mv_hi))
+    first = untile(first)[0]
+    last = untile(last)[0]
+    return hsplit_epilogue_interleaved(sc, pv_lo, pv_hi, mv_lo, mv_hi,
+                                       first, last, prolog, plen, tlen,
+                                       EBB=EBB)

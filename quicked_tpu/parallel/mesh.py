@@ -142,6 +142,56 @@ def run_banded_sharded(batch: BandedBatch, mesh: Mesh | None = None):
     return {k: np.asarray(v)[..., :B_orig] for k, v in out.items()}
 
 
+_HSPLIT_FNS: dict = {}
+
+
+def run_level_splits_sharded(batch: BandedBatch, mesh: Mesh | None = None):
+    """One Hirschberg split level, sharded AND fused: each shard runs
+    the banded score scan on its lane shard and immediately computes
+    the split epilogue (hsplit_epilogue_interleaved), so only O(tasks)
+    split tuples leave the devices — no per-level band-plane gather.
+
+    `batch` must be fwd/rev INTERLEAVED (lanes [f0, r0, f1, r1, ...])
+    with an even per-shard width so each task's halves co-locate.
+    Returns (pll, score_l, score_r, feasible) numpy arrays per task."""
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.devices.size
+    if batch.B % n or (batch.B // n) % 2:
+        raise ValueError(f"interleaved lane count {batch.B} needs an even "
+                         f"width per {n}-shard")
+    key = (mesh, batch.EBB, batch.NB)
+    fn = _HSPLIT_FNS.get(key)
+    if fn is None:
+        from quicked_tpu.ops.hirschberg_split_jax import (
+            hsplit_epilogue_interleaved,
+        )
+
+        EBB, NB = batch.EBB, batch.NB
+
+        def shard_fn(*args):
+            plen, tlen = args[-2], args[-1]
+            out = banded_scan_impl(*args[:-2], EBB=EBB, NB=NB, full=False)
+            return hsplit_epilogue_interleaved(
+                out["scores_by_k"], out["pv_lo"], out["pv_hi"],
+                out["mv_lo"], out["mv_hi"], out["first"], out["last"],
+                args[7], plen, tlen, EBB=EBB)
+
+        in_specs, _ = _lane_specs(False)
+        in_specs = in_specs + (P("data"), P("data"))
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=in_specs,
+            out_specs=(P("data"),) * 4, check_vma=False))
+        _HSPLIT_FNS[key] = fn
+    args = (batch.peq_lo, batch.peq_hi, batch.lm_lo, batch.lm_hi,
+            batch.text, batch.init_scores, batch.cutoff, batch.prolog,
+            batch.nbr, batch.finish_v, batch.tfinish, batch.first0,
+            batch.last0, batch.plen.astype(np.int32),
+            batch.tlen.astype(np.int32))
+    out = fn(*[jnp.asarray(a) for a in args])
+    return [np.asarray(v) for v in out]
+
+
 def run_windowed_sharded(batch: WindowedBatch, hew_threshold: int,
                          window_size: int, overlap_size: int,
                          mesh: Mesh | None = None):

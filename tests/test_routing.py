@@ -53,7 +53,7 @@ def test_score_device_estimate_scales_with_link(monkeypatch):
     slow = ab._score_device_est_s(b, adv, ab.CSCAN_ADV_PER_S)
     assert slow > fast
     bytes_up = (b.peq_lo.nbytes + b.peq_hi.nbytes + b.lm_lo.nbytes
-                + b.lm_hi.nbytes + b.text.nbytes)
+                + b.lm_hi.nbytes + b.text.nbytes // 4)  # text packed
     np.testing.assert_allclose(slow - fast,
                                bytes_up / 20e6 - bytes_up / 10e9,
                                rtol=1e-6)
