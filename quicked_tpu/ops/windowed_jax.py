@@ -175,35 +175,40 @@ def _hsb32(y):
 
 def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                        tlen, num_words, hew_cells, *, WS: int, OVL: int,
-                       full: bool = False, MAXOPS: int = 0):
+                       full: bool = False):
     """Windowed driver loop (windowed_compute, bpm_windowed.c:563-628).
 
     Score-only mode (full=False) returns (score, hew). Full-CIGAR mode
-    (full=True) emits per-base op codes (1=M, 2=D, 3=I, 4=X) on device,
-    right-to-left into a (MAXOPS, B) buffer (the reference's op_sentinel
-    buffer), and returns (ops_buf, op_n, pos_v, pos_h) — the remaining
-    boundary I/D runs are prepended host-side. Unjitted — shared by the
-    single-chip jit wrapper and the shard_map path (parallel/mesh.py).
+    (full=True) emits one (d_run, opcode) RECORD per window column into
+    (MW, COLS, B) buffers (window index = loop count: lanes run their
+    windows in lockstep) and returns (recs_run, recs_op, pos_v, pos_h);
+    hosts expand records to op strings (run_windowed_full). Unjitted —
+    shared by the single-chip jit wrapper and the shard_map path
+    (parallel/mesh.py).
 
-    Score-only backtrace is a COLUMN SCAN, not a step walk: scanning
-    window columns descending, each active lane consumes its whole run
-    of D steps in one iteration (highest-zero-bit arithmetic on the
-    column's Pv words — the greedy D,I,M,X order means D repeats while
-    the Pv bit below the cursor is set) followed by the single
-    column-consuming I/M/X decision, with raw-char M-tests read from a
-    bitplane packed once per window. Zero per-lane gathers: round 3
-    measured the step walk's take_along_axis lowering to an
-    O(rows x lanes) one-hot sweep per step (PERFORMANCE.md), which made
-    the device kernel 0.17x the host C rate. Validated cell-exact vs
-    windowed_backtrace_score_only semantics (bpm_windowed.c:504-561)."""
+    Both backtraces are COLUMN SCANS, not step walks: scanning window
+    columns descending, each active lane consumes its whole run of D
+    steps in one iteration (highest-zero-bit arithmetic on the
+    column's D-predicate words — greedy D repeats while the bit below
+    the cursor is set; in full mode M outranks D so the predicate is
+    Pv & ~match) followed by the single column-consuming decision, with
+    raw-char M-tests read from a bitplane packed once per window. Zero
+    per-lane gathers: round 3 measured the step walk's take_along_axis
+    lowering to an O(rows x lanes) one-hot sweep per step
+    (PERFORMANCE.md), which made the device kernel 0.17x the host C
+    rate. Validated cell-exact vs windowed_backtrace[_score_only]
+    semantics (bpm_windowed.c:448-561) on 1068 randomized model cases
+    before the port."""
     B = plen.shape[0]
     KP = peq_lo.shape[0]
     COLS = W * WS
-    MAXSTEPS = 2 * W * (WS - OVL) + 2
+    # window-count bound: every window advances pos_v + pos_h by at
+    # least W*(WS-OVL) (the overlap exit), except the final one
+    MW = -(-(pat_raw.shape[0] + text_enc.shape[0])
+           // (W * max(WS - OVL, 1))) + 2
     zeros_u = jnp.zeros((B,), U32)
     mask_lo = jnp.zeros((B,), U32)
     mask_hi = jnp.full((B,), TOPBIT_HI, U32)
-    lanes = jnp.arange(B, dtype=I32)
 
     def cond(state):
         pos_v, pos_h = state[0], state[1]
@@ -211,7 +216,7 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
 
     def body(state):
         if full:
-            pos_v, pos_h, ops_buf, op_n = state
+            pos_v, pos_h = state[0], state[1]
         else:
             pos_v, pos_h, score, hew = state
         active = (pos_v >= 0) & (pos_h >= 0)
@@ -271,8 +276,6 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                 phin, mhin = phout, mhout
             out = (jnp.stack(npv_lo), jnp.stack(npv_hi),
                    jnp.stack(nmv_lo), jnp.stack(nmv_hi))
-            if full:
-                return out, out
             # Column-scan word layout (word 2i = block i lo, 2i+1 = hi):
             # emit (Pv AFTER this column, Mv BEFORE it) = exactly the
             # (PvW[c], MvW[c-1]) pair column c = tp + 1 backtraces with.
@@ -284,69 +287,13 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
                   jnp.zeros((WS, B), U32))
         _, snaps = jax.lax.scan(fill, carry0, jnp.arange(COLS, dtype=I32))
 
-        # ---- greedy in-window backtrace; score-only tie-break D,I,M,X
+        # ---- greedy in-window backtrace as a COLUMN SCAN (zero
+        # per-lane gathers); score-only tie-break D,I,M,X
         # (windowed_backtrace_score_only, bpm_windowed.c:504-561); full
         # tie-break M,D,I,X (windowed_backtrace, bpm_windowed.c:448-502)
         v_ovl = jnp.maximum(pv_pos - W * (WS - OVL) + 1, 0)
         h_ovl = jnp.maximum(ph_pos - W * (WS - OVL) + 1, 0)
 
-        if full:
-            # Window matrix: column 0 = init, column c = after text col c.
-            PvW_lo = jnp.concatenate([carry0[0][None], snaps[0]], axis=0)
-            PvW_hi = jnp.concatenate([carry0[1][None], snaps[1]], axis=0)
-            MvW_lo = jnp.concatenate([carry0[2][None], snaps[2]], axis=0)
-            MvW_hi = jnp.concatenate([carry0[3][None], snaps[3]], axis=0)
-            # Flatten (COLS+1, WS, B) -> ((COLS+1)*WS, B); pack the four
-            # planes on a minor axis and both raw sequence windows on the
-            # row axis so each step does ONE gather for all plane words
-            # and ONE for both characters.
-            flat = lambda a: a.reshape((COLS + 1) * WS, B)
-            fAll = jnp.stack([flat(PvW_lo), flat(PvW_hi),
-                              flat(MvW_lo), flat(MvW_hi)], axis=1)
-            chars2 = jnp.concatenate([text_win_raw, pat_win_raw], axis=0)
-
-            def bt(carry, _):
-                v, h, ops_buf, op_n = carry
-                act = active & (v >= v_ovl) & (h >= h_ovl)
-                vv = jnp.maximum(v, 0)
-                hh = jnp.maximum(h, 0)
-                block = (vv - v_min) // W
-                bit = (vv - v_min) % W
-                col = hh - h_min + 1
-                idx_p = jnp.clip(col * WS + block, 0, (COLS + 1) * WS - 1)
-                idx_m = jnp.clip((col - 1) * WS + block, 0,
-                                 (COLS + 1) * WS - 1)
-                words = jnp.take_along_axis(
-                    fAll, jnp.stack([idx_p, idx_m])[:, None, :], axis=0)
-                pvb = u64.bit64(words[0, 0], words[0, 1], bit)
-                mvb = u64.bit64(words[1, 2], words[1, 3], bit)
-                cidx = jnp.stack([jnp.clip(hh - h_min, 0, COLS - 1),
-                                  COLS + jnp.clip(vv - v_min, 0, COLS - 1)])
-                cc2 = jnp.take_along_axis(chars2, cidx, axis=0)
-                tchar, pchar = cc2[0], cc2[1]
-                is_m = tchar == pchar
-                is_d = (~is_m) & (pvb == 1)
-                is_i = (~is_m) & (~is_d) & (mvb == 1)
-                diag = ~is_d & ~is_i
-                v = jnp.where(act, v - (is_d | diag).astype(I32), v)
-                h = jnp.where(act, h - (is_i | diag).astype(I32), h)
-                code = jnp.where(is_m, 1,
-                                 jnp.where(is_d, 2, jnp.where(is_i, 3, 4)))
-                slot = jnp.clip(MAXOPS - 1 - op_n, 0, MAXOPS - 1)
-                # inactive lanes write 0 into their next (still unused)
-                # slot — later real writes to that slot win
-                ops_buf = ops_buf.at[slot, lanes].set(
-                    jnp.where(act, code, 0).astype(jnp.int8))
-                op_n = op_n + act.astype(I32)
-                return (v, h, ops_buf, op_n), None
-
-            (v_f, h_f, ops_buf, op_n), _ = jax.lax.scan(
-                bt, (pos_v, pos_h, ops_buf, op_n), None, length=MAXSTEPS)
-            pos_v = jnp.where(active, v_f, pos_v)
-            pos_h = jnp.where(active, h_f, pos_h)
-            return (pos_v, pos_h, ops_buf, op_n)
-
-        # ---- score-only COLUMN-SCAN backtrace (zero per-lane gathers).
         pv_cols, mv_cols = snaps                     # (COLS, NW, B) u32
         # Raw-char match bitplane: bit (32w + j) of word w at column tp
         # answers "pat_win_raw[32w + j] == text_win_raw[tp]" — packed
@@ -361,50 +308,89 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
         v_ovl_rel = v_ovl - v_min
         h_ovl_rel = h_ovl - h_min
 
+        def _bit_sel(words, pos):
+            """Bit `pos` of an (NW, B) word stack via unrolled selects."""
+            wsel = pos >> 5
+            bsel = (pos & 31).astype(U32)
+            out = jnp.zeros((B,), U32)
+            for w in range(NW):
+                out = jnp.where(wsel == w,
+                                (words[w] >> bsel) & jnp.uint32(1), out)
+            return out
+
+        def _mask_le(nbit, w):
+            """uint32 mask of bits <= nbit within 32-bit window w."""
+            d = nbit - 32 * w
+            dc = jnp.clip(d, 0, 30).astype(U32)
+            return jnp.where(d >= 31, jnp.uint32(0xFFFFFFFF),
+                             jnp.where(d < 0, jnp.uint32(0),
+                                       (jnp.uint32(2) << dc)
+                                       - jnp.uint32(1)))
+
         def btstep(carry, xs):
-            vr, h_rel, sc = carry
+            """One column: the lane's whole D-run (highest-ZERO-bit
+            arithmetic on the D-predicate word, clamped by the
+            v>=v_overlap step bound) plus the single column-consuming
+            decision. Full mode: D fires only where Pv & ~match (M
+            outranks D); emits (run, opcode) records. Score mode:
+            D-predicate is Pv alone; accumulates the cell count."""
+            if full:
+                vr, h_rel = carry
+            else:
+                vr, h_rel, sc = carry
             c, pvw, mvw, mw = xs
             act = (active & (h_rel == c - 1) & (vr >= v_ovl_rel)
                    & (h_rel >= h_ovl_rel))
             vru = jnp.clip(vr, 0, COLS - 1)
-            # D-run: greedy D repeats while the Pv bit below the cursor
-            # is set, so its length is cursor - highest ZERO Pv bit at or
-            # below it (clamped by the v>=v_overlap step bound).
             hz = jnp.full((B,), -1, I32)
             for w in range(NW):
-                d = vru - 32 * w
-                dc = jnp.clip(d, 0, 30).astype(U32)
-                m = jnp.where(d >= 31, jnp.uint32(0xFFFFFFFF),
-                              jnp.where(d < 0, jnp.uint32(0),
-                                        (jnp.uint32(2) << dc)
-                                        - jnp.uint32(1)))
-                y = (~pvw[w]) & m
+                xw = (pvw[w] & ~mw[w]) if full else pvw[w]
+                y = (~xw) & _mask_le(vru, w)
                 hz = jnp.where(y != 0, 32 * w + _hsb32(y), hz)
             run_raw = vru - hz
             max_run = vru - v_ovl_rel + 1
             run = jnp.minimum(run_raw, max_run)
             ended = run == max_run          # window exit mid-run
             v1 = vru - run
-            # trailing column-consuming step at (v1, h): I if the
-            # PREVIOUS column's Mv bit is set, else M/X by raw match
+            # trailing step at (v1, h): match/Mv bits decide M/I/X
             v1u = jnp.clip(v1, 0, COLS - 1)
-            wsel = v1u >> 5
-            bsel = (v1u & 31).astype(U32)
-            ib = jnp.zeros((B,), U32)
-            mb = jnp.zeros((B,), U32)
-            for w in range(NW):
-                hit = wsel == w
-                ib = jnp.where(hit, (mvw[w] >> bsel) & jnp.uint32(1), ib)
-                mb = jnp.where(hit, (mw[w] >> bsel) & jnp.uint32(1), mb)
-            is_i = ib == 1
-            step_sc = jnp.where(is_i, 1, jnp.where(mb == 1, 0, 1))
-            sc = sc + jnp.where(act, run + jnp.where(ended, 0, step_sc), 0)
+            ib = _bit_sel(mvw, v1u)         # PREVIOUS column's Mv
+            mb = _bit_sel(mw, v1u)          # raw match at (v1, h)
+            if full:
+                is_m = mb == 1
+                is_i = (~is_m) & (ib == 1)
+                opc = jnp.where(is_m, 1,
+                                jnp.where(is_i, 3, 4)).astype(jnp.int8)
+                opc = jnp.where(act & ~ended, opc, jnp.int8(0))
+                run_out = jnp.where(act, run, 0).astype(jnp.int16)
+            else:
+                is_i = ib == 1
+                step_sc = jnp.where(is_i, 1, jnp.where(mb == 1, 0, 1))
+                sc = sc + jnp.where(act,
+                                    run + jnp.where(ended, 0, step_sc), 0)
             vr = jnp.where(act, jnp.where(ended, v1,
                                           v1 - jnp.where(is_i, 0, 1)), vr)
             h_rel = jnp.where(act & ~ended, h_rel - 1, h_rel)
+            if full:
+                return (vr, h_rel), (run_out, opc)
             return (vr, h_rel, sc), None
 
         cs = jnp.arange(1, COLS + 1, dtype=I32)
+        if full:
+            pos_v, pos_h, recs_run, recs_op, widx = state
+            (vr_f, hr_f), (rr, oo) = jax.lax.scan(
+                btstep, (pv_pos - v_min, ph_pos - h_min),
+                (cs, pv_cols, mv_cols, match_cols), reverse=True)
+            # one record block per window iteration (lanes run windows
+            # in lockstep, so the window index is the shared loop count)
+            wc = jnp.minimum(widx, MW - 1)
+            recs_run = jax.lax.dynamic_update_slice(recs_run, rr[None],
+                                                    (wc, 0, 0))
+            recs_op = jax.lax.dynamic_update_slice(recs_op, oo[None],
+                                                   (wc, 0, 0))
+            pos_v = jnp.where(active, v_min + vr_f, pos_v)
+            pos_h = jnp.where(active, h_min + hr_f, pos_h)
+            return (pos_v, pos_h, recs_run, recs_op, widx + 1)
         (vr_f, hr_f, sc_f), _ = jax.lax.scan(
             btstep, (pv_pos - v_min, ph_pos - h_min, jnp.zeros((B,), I32)),
             (cs, pv_cols, mv_cols, match_cols), reverse=True)
@@ -415,11 +401,12 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
         return (pos_v, pos_h, score, hew)
 
     if full:
-        assert MAXOPS > 0
         state0 = (plen - 1, tlen - 1,
-                  jnp.zeros((MAXOPS, B), jnp.int8), jnp.zeros((B,), I32))
-        pos_v, pos_h, ops_buf, op_n = jax.lax.while_loop(cond, body, state0)
-        return ops_buf, op_n, pos_v, pos_h
+                  jnp.zeros((MW, COLS, B), jnp.int16),
+                  jnp.zeros((MW, COLS, B), jnp.int8), jnp.int32(0))
+        pos_v, pos_h, recs_run, recs_op, _ = jax.lax.while_loop(
+            cond, body, state0)
+        return recs_run, recs_op, pos_v, pos_h
     state0 = (plen - 1, tlen - 1, jnp.zeros((B,), I32), jnp.zeros((B,), I32))
     pos_v, pos_h, score, hew = jax.lax.while_loop(cond, body, state0)
     # Boundary fill (bpm_windowed.c:599-627, score-only accounting).
@@ -429,49 +416,81 @@ def windowed_scan_impl(peq_lo, peq_hi, text_enc, text_raw, pat_raw, plen,
 
 
 _windowed_scan = partial(jax.jit,
-                         static_argnames=("WS", "OVL", "full", "MAXOPS"))(
+                         static_argnames=("WS", "OVL", "full"))(
     windowed_scan_impl)
 
 _OP_CHARS = {1: "M", 2: "D", 3: "I", 4: "X"}
+_OP_BYTES = np.array([0, ord("M"), ord("D"), ord("I"), ord("X")],
+                     dtype=np.uint8)
+
+
+def expand_window_records(runs, opcs, pos_v, pos_h,
+                          n: int | None = None) -> list[str]:
+    """Expand (MW, COLS, B) per-window column records to forward-order
+    op strings: 'D'*(pos_v+1) + 'I'*(pos_h+1) + for windows DESCENDING
+    (the last window processed is the leftmost piece), columns
+    ascending: op + 'D'*d_run — the reference's right-to-left buffer,
+    reversed. One vectorized np.repeat per lane chunk."""
+    runs = np.asarray(runs)
+    opcs = np.asarray(opcs)
+    pos_v = np.asarray(pos_v)
+    pos_h = np.asarray(pos_h)
+    MW, COLS, B = runs.shape
+    n = B if n is None else n
+    R = MW * COLS
+    rflat = runs[::-1].reshape(R, B)
+    oflat = opcs[::-1].reshape(R, B)
+    out = []
+    CH = max(1, (1 << 24) // max(R, 1))        # bound temp arrays
+    for s in range(0, n, CH):
+        e = min(s + CH, n)
+        m = e - s
+        vals = np.empty((m, 2 + 2 * R), dtype=np.uint8)
+        cnts = np.empty((m, 2 + 2 * R), dtype=np.int64)
+        vals[:, 0] = ord("D")
+        cnts[:, 0] = np.maximum(pos_v[s:e] + 1, 0)
+        vals[:, 1] = ord("I")
+        cnts[:, 1] = np.maximum(pos_h[s:e] + 1, 0)
+        vals[:, 2::2] = _OP_BYTES[oflat[:, s:e]].T
+        cnts[:, 2::2] = (oflat[:, s:e] != 0).T
+        vals[:, 3::2] = ord("D")
+        cnts[:, 3::2] = rflat[:, s:e].T
+        flat = np.repeat(vals.ravel(), cnts.ravel())
+        tot = cnts.sum(axis=1)
+        ends = np.cumsum(tot)
+        starts = ends - tot
+        buf = flat.tobytes()
+        out.extend(buf[starts[i]:ends[i]].decode("ascii")
+                   for i in range(m))
+    return out
 
 
 def run_windowed_full(batch: WindowedBatch, window_size: int,
                       overlap_size: int, device=None) -> list[str]:
     """Full-CIGAR windowed mode: returns forward-order op strings per
-    pair (windowed_compute CIGAR path, bpm_windowed.c:563-628)."""
+    pair (windowed_compute CIGAR path, bpm_windowed.c:563-628). The
+    kernel emits compact per-column (d_run, op) records; the boundary
+    runs (bpm_windowed.c:599-627) land at the front after the
+    reference's final reversal."""
     import contextlib
 
-    maxops = 1
-    while maxops < batch.P + batch.T + 2:
-        maxops *= 2
     dummy = np.zeros(batch.B, dtype=np.int32)
     ctx = jax.default_device(device) if device is not None \
         else contextlib.nullcontext()
     with ctx:
-        ops_buf, op_n, pos_v, pos_h = _windowed_scan(
+        recs_run, recs_op, pos_v, pos_h = _windowed_scan(
             jnp.asarray(batch.peq_lo), jnp.asarray(batch.peq_hi),
             jnp.asarray(batch.text_enc), jnp.asarray(batch.text_raw),
             jnp.asarray(batch.pat_raw), jnp.asarray(batch.plen),
             jnp.asarray(batch.tlen), jnp.asarray(batch.num_words),
             jnp.asarray(dummy), WS=window_size, OVL=overlap_size,
-            full=True, MAXOPS=maxops)
-    # one batched transfer (4 separate np.asarray calls pay a device
+            full=True)
+    # one batched transfer (separate np.asarray calls pay a device
     # round trip each — latency-bound on high-latency links)
-    ops_buf, op_n, pos_v, pos_h = jax.device_get(
-        [ops_buf, op_n, pos_v, pos_h])
-    out = []
-    lut = np.array([0] + [ord(_OP_CHARS[c]) for c in (1, 2, 3, 4)],
-                   dtype=np.uint8)
-    for b in range(batch.B):
-        n = int(op_n[b])
-        codes = ops_buf[maxops - n:, b].astype(np.int64) if n else \
-            np.empty(0, dtype=np.int64)
-        body = lut[codes].tobytes().decode("ascii")
-        # remaining boundary runs (bpm_windowed.c:599-627), which land at
-        # the front after the reference's final reversal
-        out.append("D" * (int(pos_v[b]) + 1) + "I" * (int(pos_h[b]) + 1)
-                   + body)
-    return out
+    recs_run, recs_op, pos_v, pos_h = jax.device_get(
+        [recs_run, recs_op, pos_v, pos_h])
+    return expand_window_records(recs_run, recs_op, pos_v, pos_h,
+                                 n=batch.B)
 
 
 def run_windowed_score(batch: WindowedBatch, hew_threshold: int,

@@ -111,6 +111,33 @@ def test_windowed_jax_extreme_indels(ws, ovl):
         assert hew[i] == mhew, (i, len(p), len(t))
 
 
+@pytest.mark.parametrize("ws,ovl", [(2, 1), (3, 1)])
+def test_windowed_jax_full_extreme_indels(ws, ovl):
+    """Full-CIGAR mode through the record-emitting column scan: long
+    D/I runs, M-outranks-D tie-break on match columns, N chars."""
+    from quicked_tpu.ops.windowed_jax import run_windowed_full
+
+    rng = np.random.default_rng(47 + ws)
+    pats, txts = [], []
+    for k in range(2):
+        pl = int(rng.integers(150, 350))
+        tl = int(rng.integers(5, pl // 2))
+        p = "".join(rng.choice(list("ACGTN"), pl))
+        tp = int(rng.integers(0, pl - tl + 1))
+        pats.append(p)
+        txts.append(p[tp:tp + tl])
+        pats.append(p[tp:tp + tl])
+        txts.append(p)
+    pats.append("A" * 150)
+    txts.append("C" * 4)
+    batch = _prep(pats, txts, ws)
+    ops = run_windowed_full(batch, ws, ovl)
+    for i, (p, t) in enumerate(zip(pats, txts)):
+        _, mops, _ = myers_np.windowed_compute(p, t, 0, ws, ovl,
+                                               score_only=False)
+        assert ops[i] == mops, (i, len(p), len(t))
+
+
 def test_windowed_jax_short_pairs():
     # Pairs much shorter than one window.
     pairs = _pairs(4, 30, 0.1, 14) + _pairs(2, 64, 0.2, 15)
