@@ -470,15 +470,18 @@ def stage_batch(batch: BandedBatch, lanes: int | None = None):
     args_2d = {k: padded(v, pad_fills.get(k, 0))
                for k, v in args_2d.items()}
     tiled_np = {k: _tile_lanes(v, lanes) for k, v in args_2d.items()}
-    # pad the PEQ alphabet axis 5 -> 8 for Mosaic sublane tiling
-    for k in ("peq_lo", "peq_hi"):
-        a = tiled_np[k]
-        tiled_np[k] = np.pad(a, [(0, 0), (0, 0), (0, ALPH - a.shape[2]),
-                                 (0, 0)])
     for k, v in list(tiled_np.items()):
         if v.ndim == 2:   # lane vectors
             tiled_np[k] = v[:, None, :]
     tiled = {k: jnp.asarray(v) for k, v in tiled_np.items()}
+    # pad the PEQ alphabet axis 5 -> 8 for Mosaic sublane tiling ON
+    # DEVICE (a host-side pad would upload 3/8 of the PEQ planes — the
+    # dominant staging bytes now that text packs 4 chars/word — as
+    # zeros); one-off copy at stage time
+    for k in ("peq_lo", "peq_hi"):
+        a = tiled[k]
+        tiled[k] = jnp.pad(a, [(0, 0), (0, 0), (0, ALPH - a.shape[2]),
+                               (0, 0)])
     statics = dict(EBB8=EBB8, EBB=EBB, NB=batch.NB, K=batch.K, B=B,
                    LANES=lanes, FULL=batch.full)
     return tiled, statics
