@@ -142,20 +142,30 @@ def _lane_windows(arr, starts, COLS, B):
     """Per-lane contiguous windows: arr (T, B), starts (B,) ->
     (COLS, B) with out[i, b] = arr[starts[b] + i, b].
 
-    Gathers from the full T axis are the windowed kernel's hot cost on
-    long texts (T-proportional per access); extracting the window once
-    per window step makes every subsequent access local. Small lane
-    counts use per-lane dynamic slices (cheap, contiguous); large ones a
-    single batched gather.
+    Starts are provably bounded: start = max(pos - COLS + 1, 0) and
+    pos <= T - 1, so 0 <= start <= T - COLS. That makes the common
+    device regimes STATIC shortcuts: T == COLS means every start is 0
+    (the window IS the array — short reads fit one window), and small
+    T - COLS means a handful of masked shifted copies. The general
+    take_along_axis gather is the measured hot cost of the kernel on
+    chip (one-hot lowering, ~40 ms per (128, 32768) window on v5e —
+    round 4); it remains only for wide-T batches (long reads, which
+    route to the host C walk anyway) and tiny lane counts.
     """
-    # windows are provably in-bounds: start = max(pos - COLS + 1, 0) and
-    # start + COLS - 1 <= max(pos, COLS - 1) < T
+    T = arr.shape[0]
+    if T == COLS:
+        return arr
     if B <= 32:
         cols = []
         for b in range(B):
             cols.append(jax.lax.dynamic_slice(arr[:, b],
                                               (starts[b],), (COLS,)))
         return jnp.stack(cols, axis=1)
+    if T - COLS <= 48:
+        out = arr[:COLS]
+        for s in range(1, T - COLS + 1):
+            out = jnp.where(starts[None, :] == s, arr[s:s + COLS], out)
+        return out
     idx = starts[None, :] + jnp.arange(COLS, dtype=I32)[:, None]
     return jnp.take_along_axis(arr, idx, axis=0)
 
