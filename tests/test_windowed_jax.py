@@ -138,6 +138,28 @@ def test_windowed_jax_full_extreme_indels(ws, ovl):
         assert ops[i] == mops, (i, len(p), len(t))
 
 
+@pytest.mark.parametrize("min_t", [None, 160, 2048])
+def test_windowed_jax_lane_window_paths(min_t):
+    """Parity across the three _lane_windows implementations: T == COLS
+    identity (min_t None: 100 bp pairs pad to exactly one window),
+    small T - COLS masked shifts (min_t 160 -> T-COLS = 32), and the
+    general gather (min_t 2048)."""
+    pairs = _pairs(5, 100, 0.1, 33) + _pairs(3, 120, 0.3, 34, 0.8)
+    pats = [p for p, _ in pairs]
+    txts = [t for _, t in pairs]
+    kw = {}
+    if min_t:
+        kw = dict(min_t=min_t, min_p=min_t, min_kp=min_t // 64 + 1)
+    batch = prepare_windowed_batch(pats, txts, window_size=2, pad_to_b=8,
+                                   **kw)
+    score, hew = run_windowed_score(batch, 40, 2, 1)
+    for i, (p, t) in enumerate(pairs):
+        ms, _, mhew = myers_np.windowed_compute(p, t, 40, 2, 1,
+                                                score_only=True)
+        assert score[i] == ms, (i, min_t)
+        assert hew[i] == mhew, (i, min_t)
+
+
 def test_windowed_jax_short_pairs():
     # Pairs much shorter than one window.
     pairs = _pairs(4, 30, 0.1, 14) + _pairs(2, 64, 0.2, 15)
