@@ -179,10 +179,22 @@ def main():
         prolog_d, EBB=statics["EBB8"], PP=PP)
     rec_np = jax.device_get(list(rec))
     rec_bytes = sum(int(np.asarray(r).nbytes) for r in rec_np)
+    from quicked_tpu import native
     t0 = time.perf_counter()
-    ops_dev = btj.expand_records(rec_np[0].astype(np.int32), rec_np[1],
-                                 rec_np[2], rec_np[3], n=N_PAIRS)
-    expand_s = time.perf_counter() - t0
+    packed = native.expand_colruns(rec_np[0], rec_np[1], rec_np[2],
+                                   rec_np[3]) if native.available() \
+        else None
+    if packed is None:
+        packed = btj.records_to_packed(rec_np[0].astype(np.int32),
+                                       rec_np[1], rec_np[2], rec_np[3],
+                                       n=N_PAIRS)
+    flat, starts, lens = packed
+    pack_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _buf = flat.tobytes()
+    ops_dev = [_buf[s:s + l].decode("ascii")
+               for s, l in zip(starts.tolist(), lens.tolist())]
+    expand_s = pack_s + (time.perf_counter() - t0)
     # parity of the full on-device lane on the sub-batch
     sc_tb, ops_tb = _run_device_full_tb(
         sub_batch, [_raw_bytes(p).tobytes() for p in pats[:SUB]],

@@ -232,6 +232,13 @@ def _load():
             _u32p, _u32p, _u32p, _u32p, _i64, _i64, _i64,
             _u8p, _i64p, _i64p, _u8p, _i64p, _i64p,
             _i64p, _i64, ctypes.c_char_p, _i64p, _i64p, _i64]
+        _u16p = ctypes.POINTER(ctypes.c_uint16)
+        _i8p = ctypes.POINTER(ctypes.c_int8)
+        _i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.qh_expand_colruns_batch.restype = _i64
+        lib.qh_expand_colruns_batch.argtypes = [
+            _u16p, _i8p, _i32p, _i32p, _i64, _i64,
+            ctypes.c_char_p, _i64p, _i64p]
         lib.qh_set_force_scalar.restype = None
         lib.qh_set_force_scalar.argtypes = [ctypes.c_int]
         lib.qh_get_force_scalar.restype = ctypes.c_int
@@ -244,6 +251,44 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def expand_colruns(runs_bt: np.ndarray, opcs_bt: np.ndarray,
+                   v_fin: np.ndarray, h_fin: np.ndarray):
+    """Expand (n, T) device-traceback records into one packed op-byte
+    buffer + per-lane (offset, length) — the C consumer of the
+    on-device banded traceback's (d_run, op) records (numpy fallback:
+    ops/banded_traceback_jax.records_to_packed). Returns
+    (flat uint8, offs int64, lens int64) or None when the native lib
+    is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    runs_bt = np.ascontiguousarray(runs_bt, dtype=np.uint16)
+    opcs_bt = np.ascontiguousarray(opcs_bt, dtype=np.int8)
+    v_fin = np.ascontiguousarray(v_fin, dtype=np.int32)
+    h_fin = np.ascontiguousarray(h_fin, dtype=np.int32)
+    n, T = runs_bt.shape
+    offs = np.empty(n, dtype=np.int64)
+    lens = np.empty(n, dtype=np.int64)
+    _u16 = ctypes.POINTER(ctypes.c_uint16)
+    _i8 = ctypes.POINTER(ctypes.c_int8)
+    _i32 = ctypes.POINTER(ctypes.c_int32)
+    args = (runs_bt.ctypes.data_as(_u16), opcs_bt.ctypes.data_as(_i8),
+            v_fin.ctypes.data_as(_i32), h_fin.ctypes.data_as(_i32),
+            n, T)
+    total = lib.qh_expand_colruns_batch(
+        *args, None, offs.ctypes.data_as(_i64p_()),
+        lens.ctypes.data_as(_i64p_()))
+    flat = np.empty(int(total), dtype=np.uint8)
+    lib.qh_expand_colruns_batch(
+        *args, flat.ctypes.data_as(ctypes.c_char_p),
+        offs.ctypes.data_as(_i64p_()), lens.ctypes.data_as(_i64p_()))
+    return flat, offs, lens
+
+
+def _i64p_():
+    return ctypes.POINTER(ctypes.c_int64)
 
 
 def set_force_scalar(v: bool) -> None:

@@ -1627,6 +1627,46 @@ int64_t qh_cigar_sprint_batch(
     return total;
 }
 
+/* Expand per-column device-traceback records (lane-major) into op
+ * strings: the consumer of ops/banded_traceback_jax.py's (d_run, op)
+ * records. Per lane: 'D'*(v_fin+1) + 'I'*(h_fin+1), then for each
+ * column ascending: opchar (1=M, 3=I, 4=X; 0 none) + 'D'*run. Pass
+ * out == NULL to compute offs/lens only (the caller then allocates
+ * exactly); with out != NULL both passes run in one call. Returns the
+ * total byte count. */
+int64_t qh_expand_colruns_batch(
+    const uint16_t *runs, const int8_t *opcs,
+    const int32_t *v_fin, const int32_t *h_fin,
+    int64_t n, int64_t T,
+    char *out, int64_t *offs, int64_t *lens) {
+    static const char opch[5] = {0, 'M', 'D', 'I', 'X'};
+    int64_t total = 0;
+    for (int64_t b = 0; b < n; b++) {
+        const uint16_t *r = runs + b * T;
+        const int8_t *o = opcs + b * T;
+        int64_t len = (v_fin[b] >= -1 ? v_fin[b] + 1 : 0)
+            + (h_fin[b] >= -1 ? h_fin[b] + 1 : 0);
+        for (int64_t t = 0; t < T; t++)
+            len += (o[t] != 0) + r[t];
+        offs[b] = total;
+        lens[b] = len;
+        total += len;
+    }
+    if (!out) return total;
+    for (int64_t b = 0; b < n; b++) {
+        const uint16_t *r = runs + b * T;
+        const int8_t *o = opcs + b * T;
+        char *w = out + offs[b];
+        for (int64_t k = 0; k < v_fin[b] + 1; k++) *w++ = 'D';
+        for (int64_t k = 0; k < h_fin[b] + 1; k++) *w++ = 'I';
+        for (int64_t t = 0; t < T; t++) {
+            if (o[t]) *w++ = opch[(int)o[t]];
+            for (int64_t k = 0; k < r[t]; k++) *w++ = 'D';
+        }
+    }
+    return total;
+}
+
 /* ------------------------------------------- Hirschberg (CPU path) */
 
 /*

@@ -167,7 +167,9 @@ def _records_from_tiled(pv_lo, pv_hi, mv_lo, mv_hi, praw, traw, plen,
     runs, opcs, v_f, h_f = traceback_records_impl(
         untile(pv_lo), untile(pv_hi), untile(mv_lo), untile(mv_hi),
         praw, traw, plen, tlen, prolog, EBB=EBB, PP=PP)
-    return runs.astype(jnp.uint16), opcs, v_f, h_f
+    # transpose ON DEVICE: the host expansion walks records per lane,
+    # so (B, T) contiguous readback saves a strided 12 MB host pass
+    return (runs.astype(jnp.uint16).T, opcs.T, v_f, h_f)
 
 
 def traceback_ops_from_tiled(mats_tiled, praw_np, traw_np, plen, tlen,
@@ -184,8 +186,17 @@ def traceback_ops_from_tiled(mats_tiled, praw_np, traw_np, plen, tlen,
         jnp.asarray(praw_np), jnp.asarray(traw_np),
         jnp.asarray(plen), jnp.asarray(tlen), jnp.asarray(prolog),
         EBB=EBB, PP=PP)
-    runs, opcs, v_f, h_f = jax.device_get(list(out))
-    return expand_records(runs.astype(np.int32), opcs, v_f, h_f, n=n)
+    runs_bt, opcs_bt, v_f, h_f = jax.device_get(list(out))
+    from quicked_tpu import native
+    packed = native.expand_colruns(runs_bt[:n], opcs_bt[:n], v_f[:n],
+                                   h_f[:n]) if native.available() else None
+    if packed is None:
+        packed = records_to_packed(runs_bt.astype(np.int32), opcs_bt,
+                                   v_f, h_f, n=n)
+    flat, starts, lens = packed
+    buf = flat.tobytes()
+    return [buf[s:s + l].decode("ascii")
+            for s, l in zip(starts.tolist(), lens.tolist())]
 
 
 def prep_raw_frames(patterns_raw, texts_raw, T: int, PP: int,
@@ -205,30 +216,44 @@ def prep_raw_frames(patterns_raw, texts_raw, T: int, PP: int,
     return praw, traw
 
 
-def expand_records(runs, opcs, v_fin, h_fin, n: int | None = None):
-    """Expand (T, B) column records to per-lane op strings with one
-    vectorized np.repeat: 'D'*(v+1) + 'I'*(h+1) + ascending-h
-    (op + 'D'*run) — the reference's right-to-left buffer, reversed."""
-    runs = np.asarray(runs)
-    opcs = np.asarray(opcs)
+def records_to_packed(runs_bt, opcs_bt, v_fin, h_fin,
+                      n: int | None = None):
+    """(B, T) lane-major column records -> one packed op-byte buffer +
+    per-lane (start, length): 'D'*(v+1) + 'I'*(h+1) + ascending-h
+    (op + 'D'*run) — the reference's right-to-left buffer, reversed.
+    One vectorized np.repeat, no per-lane Python work (the packed form
+    feeds the same lazy/batched CIGAR machinery as the native lane)."""
+    runs_bt = np.asarray(runs_bt)
+    opcs_bt = np.asarray(opcs_bt)
     v_fin = np.asarray(v_fin)
     h_fin = np.asarray(h_fin)
-    T, B = runs.shape
+    B, T = runs_bt.shape
     n = B if n is None else n
+    runs_bt = runs_bt[:n]
+    opcs_bt = opcs_bt[:n]
     # per lane: values [D, I, op_0, D, op_1, D, ...], counts to match
     vals = np.empty((n, 2 + 2 * T), dtype=np.uint8)
-    cnts = np.empty((n, 2 + 2 * T), dtype=np.int64)
+    cnts = np.empty((n, 2 + 2 * T), dtype=np.int32)
     vals[:, 0] = ord("D")
     cnts[:, 0] = np.maximum(v_fin[:n] + 1, 0)
     vals[:, 1] = ord("I")
     cnts[:, 1] = np.maximum(h_fin[:n] + 1, 0)
     # ascending h: op then its column's D-run
-    vals[:, 2::2] = _OP_BYTES[opcs[:, :n]].T
-    cnts[:, 2::2] = (opcs[:, :n] != 0).T
+    vals[:, 2::2] = _OP_BYTES[opcs_bt]
+    cnts[:, 2::2] = opcs_bt != 0
     vals[:, 3::2] = ord("D")
-    cnts[:, 3::2] = runs[:, :n].T
+    cnts[:, 3::2] = runs_bt
     flat = np.repeat(vals.ravel(), cnts.ravel())
-    ends = np.cumsum(cnts.sum(axis=1))
-    starts = ends - cnts.sum(axis=1)
+    tot = cnts.sum(axis=1, dtype=np.int64)
+    ends = np.cumsum(tot)
+    return flat, ends - tot, tot
+
+
+def expand_records(runs, opcs, v_fin, h_fin, n: int | None = None):
+    """(T, B) records -> per-lane op strings (tests / small batches;
+    the hot path keeps the packed form from records_to_packed)."""
+    flat, starts, lens = records_to_packed(
+        np.asarray(runs).T, np.asarray(opcs).T, v_fin, h_fin, n)
     buf = flat.tobytes()
-    return [buf[starts[i]:ends[i]].decode("ascii") for i in range(n)]
+    return [buf[s:s + l].decode("ascii")
+            for s, l in zip(starts.tolist(), lens.tolist())]

@@ -94,3 +94,26 @@ def test_expand_records_empty_and_pads():
     assert got[0] == "MDD"
     assert got[1] == "DDDD"
     assert got[2] == "II"
+
+
+def test_expand_colruns_c_matches_numpy():
+    """The C record expander (qh_expand_colruns_batch) vs the numpy
+    packed path on randomized records."""
+    from quicked_tpu import native
+    from quicked_tpu.ops.banded_traceback_jax import records_to_packed
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    n, T = 257, 96
+    runs = rng.integers(0, 5, (n, T)).astype(np.uint16)
+    runs[rng.random((n, T)) < 0.7] = 0
+    opcs = rng.choice(np.array([0, 1, 3, 4], np.int8), (n, T))
+    v_f = rng.integers(-1, 40, n).astype(np.int32)
+    h_f = rng.integers(-1, 40, n).astype(np.int32)
+    want = records_to_packed(runs.astype(np.int32), opcs, v_f, h_f)
+    got = native.expand_colruns(runs, opcs, v_f, h_f)
+    assert got is not None
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+    np.testing.assert_array_equal(got[2], want[2])
