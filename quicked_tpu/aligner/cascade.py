@@ -15,6 +15,7 @@ device kernels:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -238,6 +239,36 @@ def _native_fast_max(bandwidth: int) -> int:
     return lo
 
 
+# Fast-link short-read routing model (round-4 measured rates, this
+# v5e): the native one-call C cascade runs ~32 Mbases/s on short reads
+# (w3: 0.31 s / 10 Mbases, 4 cores); the device cascade's compute
+# (windowed bound 0.8M pairs/s + fill+records 2.8M pairs/s + C record
+# expansion) ~62 Mbases/s, but pays ~25 staged bytes/base over the link
+# plus a few dispatches. On PCIe-class links the device lane wins for
+# batches beyond ~300 kbases; through this dev tunnel (20 MB/s) the
+# transfer term keeps the native lane ahead at any size — which the
+# inequality reproduces. QUICKED_TPU_STAGED_SHORT=0/1 force-overrides.
+_NATIVE_CASCADE_BASES_S = 32e6
+_STAGED_CASCADE_BASES_S = 62e6
+_STAGED_BYTES_PER_BASE = 25.0
+
+
+def _prefer_staged_short(total_bases: int) -> bool:
+    """True when the staged device cascade beats the native C lane for
+    a short-read batch of `total_bases` on the measured link."""
+    env = os.environ.get("QUICKED_TPU_STAGED_SHORT")
+    if env is not None:
+        return env == "1"
+    from quicked_tpu.aligner import batch as ab
+
+    link = ab._device_readback_mbps() * 1e6
+    native_s = total_bases / _NATIVE_CASCADE_BASES_S
+    staged_s = (4 * ab._device_dispatch_s()
+                + total_bases * _STAGED_BYTES_PER_BASE / max(link, 1.0)
+                + total_bases / _STAGED_CASCADE_BASES_S)
+    return staged_s < native_s
+
+
 def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
                           timers=None) -> CascadeResult:
     """Run the QuickEd cascade on a batch of (pattern, text) pairs.
@@ -279,6 +310,15 @@ def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
         else:
             fast = [i for i in range(n)
                     if max(len(pairs[i][0]), len(pairs[i][1])) <= fast_max]
+            if fast:
+                total_b = sum(max(len(pairs[i][0]), len(pairs[i][1]))
+                              for i in fast)
+                # fast links route large short-read batches through the
+                # staged device cascade (fill + on-device traceback —
+                # 4.85x the C lane in the round-4 PCIe projection)
+                if _prefer_staged_short(total_b):
+                    _ab._venue("cascade_staged_shortreads")
+                    fast = []
     else:
         fast = []
     # One total-timer lap per batch call regardless of lane routing (a

@@ -292,3 +292,19 @@ def test_device_calibration_declines_off_tpu(tmp_path, monkeypatch):
     assert ab._kernel_rate("sysband") == ab.SYSBAND_ADV_PER_S
     assert ab._probe_cache_get("adv_rate_sysband",
                                ttl=ab._RATE_TTL_S) is None
+
+
+def test_prefer_staged_short_flips_with_link(monkeypatch):
+    """Short-read cascade routing: a PCIe-class link sends big batches
+    through the staged device cascade; the dev tunnel keeps the native
+    C lane at any size (round-4 rates model)."""
+    from quicked_tpu.aligner import cascade as cs
+
+    monkeypatch.setattr(ab, "_DISPATCH_S", [0.001])
+    monkeypatch.setattr(ab, "_LINK_MBPS", [10_000.0])
+    assert cs._prefer_staged_short(10_000_000)       # w3-sized
+    assert not cs._prefer_staged_short(50_000)       # tiny batch
+    monkeypatch.setattr(ab, "_LINK_MBPS", [20.0])
+    assert not cs._prefer_staged_short(10_000_000)   # tunnel: native
+    monkeypatch.setenv("QUICKED_TPU_STAGED_SHORT", "1")
+    assert cs._prefer_staged_short(1)
