@@ -125,6 +125,17 @@ FULL_DEVICE_MIN_MBPS = 250.0
 # (~20 MB/s) still stays on host C end-to-end — correctly.
 FULL_DEVICE_TB_MIN_MBPS = 25.0
 
+# A bandwidth bar alone is NOT enough on high-LATENCY links: the
+# Hirschberg driver issues base-case fills as sequential per-level
+# chunks, each paying several dispatches plus the records round-trip,
+# so a tunnel-class link (~35 ms/dispatch) loses end-to-end at ANY
+# bandwidth. Measured on this dev tunnel: when a 25-40 MB/s probe
+# cleared the MB/s bar, workload 4 warm flipped 0.07 s (host C) ->
+# 1.26 s (device lane). PCIe-class hosts dispatch in well under 1 ms
+# and keep the 4.85x projected win; the latency guard only excludes
+# remote-dispatch links.
+FULL_DEVICE_MAX_DISPATCH_S = 0.005
+
 
 _PROBE_TTL_S = 900.0  # link conditions drift (tunnel wedges, load)
 
@@ -357,9 +368,7 @@ def _calibrate_device_rate(family: str):
         best = min(best, time.perf_counter() - t0)
     # text stages packed 4 chars/word in the pallas/sysband families
     # (cscan still unpacked — estimate stays conservative for it)
-    bytes_up = (batch.peq_lo.nbytes + batch.peq_hi.nbytes
-                + batch.lm_lo.nbytes + batch.lm_hi.nbytes
-                + batch.text.nbytes // 4)
+    bytes_up = batch.upload_bytes()
     overhead = _device_dispatch_s() + bytes_up / (_device_readback_mbps()
                                                   * 1e6)
     kern = best - overhead
@@ -433,9 +442,7 @@ def _score_device_est_s(batch, adv: float, kernel_adv_per_s: float) -> float:
     level-mask/text planes upload on every engine call)."""
     # text stages packed 4 chars/word in the pallas/sysband families
     # (cscan still unpacked — estimate stays conservative for it)
-    bytes_up = (batch.peq_lo.nbytes + batch.peq_hi.nbytes
-                + batch.lm_lo.nbytes + batch.lm_hi.nbytes
-                + batch.text.nbytes // 4)
+    bytes_up = batch.upload_bytes()
     link = _device_readback_mbps() * 1e6
     return (_device_dispatch_s() + bytes_up / link
             + adv / kernel_adv_per_s)
@@ -503,7 +510,7 @@ def _device_with_cold_deferral(family: str, batch, run_dev):
     from quicked_tpu.utils import warmup
 
     key = (family, batch.B, batch.EBB, batch.NB, bool(batch.full),
-           int(batch.text.shape[-1]))
+           batch.B)
     if native_available() and batch.enc_patterns is not None and \
             warmup.defer_cold(key, lambda: run_dev(batch)):
         _venue(family + "_warming")
@@ -662,7 +669,7 @@ def _lane_pad(n_live: int, ebb_p2: int, min_lanes: int) -> int:
 
 
 def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
-                       min_lanes: int = 8):
+                       min_lanes: int = 8, raws=None):
     """BANDED algorithm over a batch, through the device kernels.
 
     Returns (scores int64 array, ops list of str|None). Semantics:
@@ -672,7 +679,19 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
     kernel on TPU hosts (banded_pallas, FULL=True) with the threaded
     host C traceback over the streamed band planes; CPU-only hosts use
     the per-pair C fill+traceback.
+
+    `raws`: optional (praws, traws) byte-string lists for pre-encoded
+    inputs — the traceback M-vs-X test compares RAW chars, which the
+    5-letter encoding collapses (see run_banded_full_native).
     """
+    def _praw(i):
+        return raws[0][i] if raws is not None \
+            else _raw_bytes(patterns[i]).tobytes()
+
+    def _traw(i):
+        return raws[1][i] if raws is not None \
+            else _raw_bytes(texts[i]).tobytes()
+
     n = len(patterns)
     device_full = False
     if not only_score:
@@ -703,12 +722,14 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                         else FULL_DEVICE_MIN_MBPS)
             device_full = pallas_available() and (
                 env == "1"
-                or _device_readback_mbps() >= min_mbps)
+                or (_device_readback_mbps() >= min_mbps
+                    and _device_dispatch_s() <= FULL_DEVICE_MAX_DISPATCH_S))
         if not device_full and native_available() and ACTIVE_MESH is None:
             # no accelerator: the per-pair C fill+traceback is the
             # fastest host path
             _venue("full_host_c")
-            return run_banded_full_native(patterns, texts, cutoffs)
+            return run_banded_full_native(patterns, texts, cutoffs,
+                                          raws=raws)
     scores = np.zeros(n, dtype=np.int64)
     ops_out: list = [None] * n
     plens = [len(p) for p in patterns]
@@ -743,7 +764,9 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                 sc_nat, ops_nat = run_banded_full_native(
                     [patterns[i] for i in idxs],
                     [texts[i] for i in idxs],
-                    [cutoffs[i] for i in idxs])
+                    [cutoffs[i] for i in idxs],
+                    raws=([_praw(i) for i in idxs],
+                          [_traw(i) for i in idxs]))
                 for j, i in enumerate(idxs):
                     scores[i] = sc_nat[j]
                     ops_out[i] = ops_nat[j]
@@ -771,24 +794,25 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                 use_tb = os.environ.get("QUICKED_TPU_DEVICE_TB",
                                         "1") == "1"
                 if use_tb:
-                    praws = [_raw_bytes(patterns[i]).tobytes()
-                             for i in sub]
-                    traws = [_raw_bytes(texts[i]).tobytes() for i in sub]
+                    praws = [_praw(i) for i in sub]
+                    traws = [_traw(i) for i in sub]
                     runner = lambda b=batch: _run_device_full_tb(
                         b, praws, traws, len(sub))
                 else:
                     runner = lambda b=batch: run_banded_pallas(b)
                 key = ("full_pallas_tb" if use_tb else "full_pallas",
                        batch.B, batch.EBB, batch.NB,
-                       int(batch.text.shape[-1]))
+                       batch.B)
                 if warmup.defer_cold(key, runner):
                     # cold shape: per-pair host C fill+traceback now,
                     # device kernel compiles in the background
                     # (device_full implies native_available)
                     _venue("full_pallas_warming")
                     _venue("full_host_c")
-                    sc_nat, ops_nat = run_banded_full_native(pats, txts,
-                                                             cos)
+                    sc_nat, ops_nat = run_banded_full_native(
+                        pats, txts, cos,
+                        raws=([_praw(i) for i in sub],
+                              [_traw(i) for i in sub]))
                     for j, i in enumerate(sub):
                         scores[i] = sc_nat[j]
                         ops_out[i] = ops_nat[j]
@@ -819,8 +843,8 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                         out["mat_pv_lo"], out["mat_pv_hi"],
                         out["mat_mv_lo"], out["mat_mv_hi"],
                         list(range(len(sub))),
-                        [_raw_bytes(patterns[i]).tobytes() for i in sub],
-                        [_raw_bytes(texts[i]).tobytes() for i in sub],
+                        [_praw(i) for i in sub],
+                        [_traw(i) for i in sub],
                         [int(batch.prolog[j]) for j in range(len(sub))])
                 for j, i in enumerate(sub):
                     ops_out[i] = ops[j]

@@ -20,6 +20,8 @@ continuing the right-of-failure subtree and discarding left-side leaves.
 
 from __future__ import annotations
 
+import numpy as np
+
 from quicked_tpu.ops import myers_np
 from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE, QuickedStatus
 
@@ -153,11 +155,29 @@ def hirschberg_batch(texts, patterns, cutoffs):
     # first) aborts at the lexicographically greatest failing node; only
     # leaves strictly right of it were written before the abort.
     fail_path: dict[int, tuple] = {}
-    # task: (pair, path, text, pattern, cutoff); path is the 0/1
-    # left/right descent — leaves are prefix-free, so lexicographic path
-    # order is left-to-right CIGAR order.
-    tasks = [(i, (), texts[i], patterns[i], int(cutoffs[i]))
-             for i in range(n)]
+
+    def _enc_raw(s):
+        # Encode ONCE per pair; levels slice the array (zero-copy
+        # views) instead of re-encoding string slices every level —
+        # the per-level dna.encode of 2x half-length strings was a
+        # measured ~20% of workload-4's Hirschberg wall. Raw bytes ride
+        # along for the base-case traceback's M-vs-X raw-char test.
+        if isinstance(s, np.ndarray):
+            e = np.asarray(s, np.uint8)
+            return e, e.tobytes()
+        from quicked_tpu import dna
+        return dna.encode(s), s.encode("ascii", "replace")
+
+    # task: (pair, path, text, pattern, cutoff, traw, praw); text/
+    # pattern are encoded uint8 views, traw/praw the matching raw
+    # bytes. path is the 0/1 left/right descent — leaves are
+    # prefix-free, so lexicographic path order is left-to-right CIGAR
+    # order.
+    tasks = []
+    for i in range(n):
+        te, tr = _enc_raw(texts[i])
+        pe, pr = _enc_raw(patterns[i])
+        tasks.append((i, (), te, pe, int(cutoffs[i]), tr, pr))
 
     from quicked_tpu.aligner.batch import (banded_align_batch,
                                            banded_score_results)
@@ -165,7 +185,7 @@ def hirschberg_batch(texts, patterns, cutoffs):
     while tasks:
         base, split = [], []
         for t in tasks:
-            i, path, text, pattern, cutoff = t
+            i, path, text, pattern, cutoff = t[:5]
             if i in fail_path and path < fail_path[i]:
                 # left of the failure: the reference never visits it
                 continue
@@ -178,7 +198,8 @@ def hirschberg_batch(texts, patterns, cutoffs):
         if base:
             _, ops = banded_align_batch(
                 [t[3] for t in base], [t[2] for t in base],
-                [t[4] for t in base], only_score=False)
+                [t[4] for t in base], only_score=False,
+                raws=([t[6] for t in base], [t[5] for t in base]))
             for t, op in zip(base, ops):
                 leaves[t[0]].append((t[1], op))
 
@@ -215,7 +236,7 @@ def hirschberg_batch(texts, patterns, cutoffs):
                 fwd, rev = both[:len(split)], both[len(split):]
                 splits = _level_splits(split, fwd, rev)
             for t, mid, sp in zip(split, mids, splits):
-                i, path, text, pattern, cutoff = t
+                i, path, text, pattern, cutoff, traw, praw = t
                 if sp is None:
                     status[i] = QuickedStatus.QUICKED_FAIL_NON_CONVERGENCE
                     if path >= fail_path.get(i, path):
@@ -223,9 +244,9 @@ def hirschberg_batch(texts, patterns, cutoffs):
                     continue
                 pll, score_l, score_r = sp
                 tasks.append((i, path + (0,), text[:mid], pattern[:pll],
-                              int(score_l)))
+                              int(score_l), traw[:mid], praw[:pll]))
                 tasks.append((i, path + (1,), text[mid:], pattern[pll:],
-                              int(score_r)))
+                              int(score_r), traw[mid:], praw[pll:]))
 
     out = []
     for i in range(n):

@@ -23,10 +23,17 @@ def native_available() -> bool:
     return native.available()
 
 
-def run_banded_full_native(patterns, texts, cutoffs, workers=None):
+def run_banded_full_native(patterns, texts, cutoffs, workers=None,
+                           raws=None):
     """Full BandEd alignment (fill + traceback) per pair through the C
     kernel; returns (scores int64 array, ops list). The CPU-path
-    equivalent of the full-matrix device kernel + host traceback."""
+    equivalent of the full-matrix device kernel + host traceback.
+
+    `raws`: optional (praws, traws) lists of the ORIGINAL byte strings
+    for pre-encoded inputs — the traceback's M-vs-X test compares raw
+    chars (bpm_banded.c traceback semantics), which the 5-letter
+    encoding collapses (e.g. two distinct non-ACGT chars both encode
+    to 4)."""
     from quicked_tpu import dna
 
     n = len(patterns)
@@ -42,7 +49,9 @@ def run_banded_full_native(patterns, texts, cutoffs, workers=None):
         p, t = patterns[i], texts[i]
         pe = p if isinstance(p, np.ndarray) else dna.encode(p)
         te = t if isinstance(t, np.ndarray) else dna.encode(t)
-        sc, ops = native.banded_align_full(pe, raw(p, pe), te, raw(t, te),
+        praw = raws[0][i] if raws is not None else raw(p, pe)
+        traw = raws[1][i] if raws is not None else raw(t, te)
+        sc, ops = native.banded_align_full(pe, praw, te, traw,
                                            int(cutoffs[i]))
         scores[i] = sc
         ops_out[i] = ops

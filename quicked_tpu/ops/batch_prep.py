@@ -60,9 +60,22 @@ def pack_peq_batch(enc_list, num_words: int):
             np.ascontiguousarray(words[..., 1].transpose(2, 0, 1)))
 
 
+#: Device-plane fields built lazily on first access (see BandedBatch).
+_PLANE_FIELDS = frozenset((
+    "peq_lo", "peq_hi", "lm_lo", "lm_hi", "text", "init_scores"))
+_PLANES_LOCK = __import__("threading").Lock()
+
+
 @dataclasses.dataclass
 class BandedBatch:
-    """Fixed-shape arrays for one kernel invocation (one bucket)."""
+    """Fixed-shape arrays for one kernel invocation (one bucket).
+
+    The device planes (PEQ, level masks, text, init scores) build
+    LAZILY on first attribute access via `plane_builder`: score batches
+    that the venue router sends to the host C kernel (every Hirschberg
+    level on CPU-bound hosts / high-latency links) never touch them and
+    skip the packing cost entirely. Venue decisions must therefore size
+    the upload with the analytic `upload_bytes()`, not the arrays."""
 
     # static shape params
     B: int
@@ -70,13 +83,6 @@ class BandedBatch:
     NB: int           # number of 64-column blocks
     K: int            # shifted-frame rows = NB + EBB
     full: bool        # full-matrix (traceback) variant?
-    # device arrays (numpy here; moved to device by the caller)
-    peq_lo: np.ndarray       # (K, 5, B) u32
-    peq_hi: np.ndarray
-    lm_lo: np.ndarray        # (K, B) u32
-    lm_hi: np.ndarray
-    text: np.ndarray         # (NB*64, B) i32
-    init_scores: np.ndarray  # (EBB+1, B) i32 — initial scores window
     cutoff: np.ndarray       # (B,) i32
     prolog: np.ndarray
     nbr: np.ndarray          # pattern num-block-rows
@@ -86,10 +92,41 @@ class BandedBatch:
     last0: np.ndarray
     plen: np.ndarray
     tlen: np.ndarray
+    # device arrays (numpy here; moved to device by the caller) —
+    # None until first access when plane_builder is set
+    peq_lo: np.ndarray | None = None   # (K, 5, B) u32
+    peq_hi: np.ndarray | None = None
+    lm_lo: np.ndarray | None = None    # (K, B) u32
+    lm_hi: np.ndarray | None = None
+    text: np.ndarray | None = None     # (NB*64, B) i32
+    init_scores: np.ndarray | None = None  # (EBB+1, B) i32
     # original encoded sequences (host references, not device data) —
     # consumed by the native CPU kernel path (ops/banded_native.py)
     enc_patterns: list | None = None
     enc_texts: list | None = None
+    plane_builder: object = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    def __getattribute__(self, name):
+        if name in _PLANE_FIELDS and \
+                object.__getattribute__(self, name) is None and \
+                object.__getattribute__(self, "plane_builder") is not None:
+            # lock: a warmup background compile and the foreground call
+            # can race to the first plane access on the same batch
+            with _PLANES_LOCK:
+                builder = object.__getattribute__(self, "plane_builder")
+                if builder is not None:
+                    for k, v in builder().items():
+                        object.__setattr__(self, k, v)
+                    object.__setattr__(self, "plane_builder", None)
+        return object.__getattribute__(self, name)
+
+    def upload_bytes(self) -> int:
+        """Analytic staged-upload size of a score pass (PEQ lo+hi,
+        level masks lo+hi, 4-chars-per-word packed text) — reading the
+        arrays' .nbytes would trigger the lazy build the host venue
+        exists to avoid."""
+        return self.K * self.B * 4 * (5 * 2 + 2) + self.NB * W * self.B
 
 
 def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,
@@ -136,56 +173,62 @@ def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,
         NB = max(NB, min_nb)
     K = NB + EBB
 
-    # ---- PEQ + level masks, vectorised across the batch ----
-    # (the per-pair packing loop is the host-prep bottleneck at
-    # production batch sizes)
-    max_nw = max(max(div_ceil(int(L), W), 1) for L in plen) if n else 1
-    K_ext = K + max_nw + 1
-    peq_lo = np.full((K_ext, 5, B), 0xFFFFFFFF, dtype=np.uint32)
-    peq_hi = np.full((K_ext, 5, B), 0xFFFFFFFF, dtype=np.uint32)
-    packed_lo, packed_hi = pack_peq_batch(enc_p, max_nw)  # (max_nw, 5, n)
-    rows = prolog[:n][None, :] + np.arange(max_nw, dtype=np.int64)[:, None]
-    idx = np.broadcast_to(rows[:, None, :], (max_nw, 5, n))
-    np.put_along_axis(peq_lo[:, :, :n], idx, packed_lo, axis=0)
-    np.put_along_axis(peq_hi[:, :, :n], idx, packed_hi, axis=0)
-    peq_lo = np.ascontiguousarray(peq_lo[:K])
-    peq_hi = np.ascontiguousarray(peq_hi[:K])
+    def build_planes():
+        # ---- PEQ + level masks, vectorised across the batch ----
+        # (the per-pair packing loop is the host-prep bottleneck at
+        # production batch sizes). Runs lazily on first plane access:
+        # host-C-routed score batches never pay it.
+        max_nw = max(max(div_ceil(int(L), W), 1) for L in plen) if n else 1
+        K_ext = K + max_nw + 1
+        peq_lo = np.full((K_ext, 5, B), 0xFFFFFFFF, dtype=np.uint32)
+        peq_hi = np.full((K_ext, 5, B), 0xFFFFFFFF, dtype=np.uint32)
+        packed_lo, packed_hi = pack_peq_batch(enc_p, max_nw)  # (max_nw, 5, n)
+        rows = prolog[:n][None, :] + np.arange(max_nw, dtype=np.int64)[:, None]
+        idx = np.broadcast_to(rows[:, None, :], (max_nw, 5, n))
+        np.put_along_axis(peq_lo[:, :, :n], idx, packed_lo, axis=0)
+        np.put_along_axis(peq_hi[:, :, :n], idx, packed_hi, axis=0)
+        peq_lo_c = np.ascontiguousarray(peq_lo[:K])
+        peq_hi_c = np.ascontiguousarray(peq_hi[:K])
 
-    # level masks (bpm_banded.c:88-102): top bit everywhere except the
-    # final pattern block when the length is not a multiple of 64
-    lm_lo = np.zeros((K_ext, B), dtype=np.uint32)
-    lm_hi = np.full((K_ext, B), TOPBIT_HI, dtype=np.uint32)
-    nw_arr = np.maximum((plen.astype(np.int64) + W - 1) // W, 1)
-    mod = plen.astype(np.int64) % W
-    top = prolog[:n].astype(np.int64) + nw_arr - 1
-    sel = np.nonzero(mod > 0)[0]
-    if len(sel):
-        m = mod[sel]
-        lo_val = np.where(m <= 32,
-                          np.left_shift(np.uint64(1),
-                                        np.clip(m - 1, 0, 31).astype(np.uint64)),
-                          0).astype(np.uint32)
-        hi_val = np.where(m > 32,
-                          np.left_shift(np.uint64(1),
-                                        np.clip(m - 33, 0, 31).astype(np.uint64)),
-                          0).astype(np.uint32)
-        lm_lo[top[sel], sel] = lo_val
-        lm_hi[top[sel], sel] = hi_val
-    lm_lo = np.ascontiguousarray(lm_lo[:K])
-    lm_hi = np.ascontiguousarray(lm_hi[:K])
+        # level masks (bpm_banded.c:88-102): top bit everywhere except the
+        # final pattern block when the length is not a multiple of 64
+        lm_lo = np.zeros((K_ext, B), dtype=np.uint32)
+        lm_hi = np.full((K_ext, B), TOPBIT_HI, dtype=np.uint32)
+        nw_arr = np.maximum((plen.astype(np.int64) + W - 1) // W, 1)
+        mod = plen.astype(np.int64) % W
+        top = prolog[:n].astype(np.int64) + nw_arr - 1
+        sel = np.nonzero(mod > 0)[0]
+        if len(sel):
+            m = mod[sel]
+            lo_val = np.where(m <= 32,
+                              np.left_shift(np.uint64(1),
+                                            np.clip(m - 1, 0, 31).astype(np.uint64)),
+                              0).astype(np.uint32)
+            hi_val = np.where(m > 32,
+                              np.left_shift(np.uint64(1),
+                                            np.clip(m - 33, 0, 31).astype(np.uint64)),
+                              0).astype(np.uint32)
+            lm_lo[top[sel], sel] = lo_val
+            lm_hi[top[sel], sel] = hi_val
+        lm_lo_c = np.ascontiguousarray(lm_lo[:K])
+        lm_hi_c = np.ascontiguousarray(lm_hi[:K])
 
-    text = np.zeros((NB * W, B), dtype=np.int32)
-    for b in range(n):
-        tl = int(text_finish[b])
-        text[:tl, b] = enc_t[b][:tl].astype(np.int32)
+        text = np.zeros((NB * W, B), dtype=np.int32)
+        for b in range(n):
+            tl = int(text_finish[b])
+            text[:tl, b] = enc_t[b][:tl].astype(np.int32)
 
-    # Initial scores window covers shifted rows k in [0, EBB+1):
-    # value (k - prolog + 1) * 64 (bpm_reset_search, bpm_banded.c:180-197;
-    # rows not in [prolog, prolog+ebb) are don't-cares / fallback inits).
-    k_idx = np.arange(EBB + 1, dtype=np.int32)[:, None]
-    init_scores = ((k_idx - prolog[None, :n] + 1) * W).astype(np.int32)
-    init_full = np.zeros((EBB + 1, B), dtype=np.int32)
-    init_full[:, :n] = init_scores
+        # Initial scores window covers shifted rows k in [0, EBB+1):
+        # value (k - prolog + 1) * 64 (bpm_reset_search,
+        # bpm_banded.c:180-197; rows not in [prolog, prolog+ebb) are
+        # don't-cares / fallback inits).
+        k_idx = np.arange(EBB + 1, dtype=np.int32)[:, None]
+        init_scores = ((k_idx - prolog[None, :n] + 1) * W).astype(np.int32)
+        init_full = np.zeros((EBB + 1, B), dtype=np.int32)
+        init_full[:, :n] = init_scores
+        return dict(peq_lo=peq_lo_c, peq_hi=peq_hi_c,
+                    lm_lo=lm_lo_c, lm_hi=lm_hi_c, text=text,
+                    init_scores=init_full)
 
     def vec(x, fill=0):
         out = np.full(B, fill, dtype=np.int32)
@@ -194,8 +237,7 @@ def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,
 
     return BandedBatch(
         B=B, EBB=EBB, NB=NB, K=K, full=full,
-        peq_lo=peq_lo, peq_hi=peq_hi, lm_lo=lm_lo, lm_hi=lm_hi, text=text,
-        init_scores=init_full,
+        plane_builder=build_planes,
         cutoff=vec(cutoff, fill=65), prolog=vec(prolog),
         nbr=vec(nbr, fill=1), finish_v=vec(finish_v),
         # pad lanes carry an EMPTY live band range [EBB-1, 0] (their
