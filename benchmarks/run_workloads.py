@@ -112,6 +112,12 @@ def _timed(name, pairs, warm_pairs=None, with_cpu=True):
         "venues": venues,
     }
     if with_cpu:
+        # warm engine reps can enqueue NEW background kernel warmups
+        # (cold shapes discovered mid-run); let them drain so the C
+        # reference reps don't time against contended cores — a single
+        # contended rep inflates cpu_spread_s past any real margin and
+        # un-decides the row
+        warmup.wait_idle()
         try:
             cpus = [_cpu_time(pairs)]
             if cpus[0] is not None:

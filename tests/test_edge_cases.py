@@ -28,6 +28,13 @@ EDGE_PAIRS = [
     ("GATTACA" * 30, "GATTACA" * 30 + "TTT"),  # trailing indel
     ("A" * 200, "A" * 100),          # long deletion run
     ("A" * 100, "A" * 200),          # long insertion run
+    # DISTINCT non-ACGT chars: both encode to 4 but the traceback's
+    # M-vs-X test compares RAW chars (R vs K must emit X, not M) —
+    # covers the raw-bytes plumbing through the pre-encoded Hirschberg
+    # driver and every traceback venue
+    ("ACGTR" * 40, "ACGTK" * 40),
+    ("ACGTRRRR" * 30, "ACGTKKKK" * 30),
+    ("NRKX" * 50, "NKRY" * 50),
 ]
 
 # edit-windowed: the reference's SSE4.1 window kernel (default build)
