@@ -466,8 +466,12 @@ static inline void qh_banded_cols4(
  * published by strip s-1 and publishing its own to strip s+1. Only
  * independent (column, block) cells are reordered, so results are
  * bit-exact with the serial kernel. Band maintenance (every 64
- * columns) runs serially on thread 0 between two spin barriers, which
- * also re-partitions the strips as first/last move.
+ * columns) runs serially on the LAST active strip's thread — the
+ * carry handoffs already order strip completions within a block, so
+ * no barrier is needed before it; a maintained-block sequence number
+ * (bseq) releases the next block (and the re-partitioned strips) to
+ * everyone else. The earlier design paid two full spin barriers per
+ * block here, ~35% of ONT-geometry wall at 4 threads.
  */
 #define QH_BMT_MAX 16
 
@@ -482,25 +486,6 @@ static inline void qh_cpu_relax(void) {
 static inline void qh_spin_step(int64_t *spins) {
     if (++*spins < 1024) qh_cpu_relax();
     else { sched_yield(); *spins = 0; }
-}
-
-typedef struct {
-    volatile int64_t count;
-    volatile int64_t sense;
-    int64_t total;
-} qh_sbar_t;
-
-static inline void qh_sbar_wait(qh_sbar_t *b, int *local_sense) {
-    int snew = 1 - *local_sense;
-    *local_sense = snew;
-    if (__atomic_add_fetch(&b->count, 1, __ATOMIC_ACQ_REL) == b->total) {
-        b->count = 0;
-        __atomic_store_n(&b->sense, (int64_t)snew, __ATOMIC_RELEASE);
-    } else {
-        int64_t spins = 0;
-        while (__atomic_load_n(&b->sense, __ATOMIC_ACQUIRE) != snew)
-            qh_spin_step(&spins);
-    }
 }
 
 typedef struct {
@@ -520,7 +505,11 @@ typedef struct {
     /* carry into strip s at column offset t (t mod 64) */
     uint8_t bp[QH_BMT_MAX][QH_W], bm[QH_BMT_MAX][QH_W];
     struct { volatile int64_t v; char pad[56]; } done[QH_BMT_MAX];
-    qh_sbar_t bar;
+    /* maintained-block sequence number: the LAST active strip runs the
+     * maintenance and publishes k+1 here (release); everyone else
+     * spins (acquire) before starting block k+1. Replaces the two
+     * full spin barriers per block of the earlier design. */
+    volatile int64_t bseq;
     volatile int go;
 } qh_bmt_t;
 
@@ -567,11 +556,19 @@ static void qh_bmt_maintain(qh_bmt_t *c) {
 }
 
 static void qh_bmt_work(qh_bmt_t *c, int s) {
-    int ls = 0;
     uint8_t sink_p[4], sink_m[4];
     for (int64_t k = 0; k < c->text_block; k++) {
+        /* wait for block k-1's maintenance (the maintainer itself
+         * stored bseq = k and passes through). The acquire also makes
+         * the new partition/bounds visible before they are read. */
+        if (k > 0) {
+            int64_t spins = 0;
+            while (__atomic_load_n(&c->bseq, __ATOMIC_ACQUIRE) < k)
+                qh_spin_step(&spins);
+        }
+        const int active = c->active;
         const int64_t t0g = k * QH_W;
-        if (s < c->active) {
+        if (s < active) {
             const int64_t lo = c->s_lo[s], hi = c->s_lo[s + 1] - 1;
             for (int64_t t = 0; t < QH_W; t += 4) {
                 const uint8_t *cin_p = QH_ONE4, *cin_m = QH_ZERO4;
@@ -584,7 +581,7 @@ static void qh_bmt_work(qh_bmt_t *c, int s) {
                     cin_m = &c->bm[s][t];
                 }
                 uint8_t *co_p = sink_p, *co_m = sink_m;
-                if (s + 1 < c->active) {
+                if (s + 1 < active) {
                     co_p = &c->bp[s + 1][t];
                     co_m = &c->bm[s + 1][t];
                 }
@@ -592,14 +589,21 @@ static void qh_bmt_work(qh_bmt_t *c, int s) {
                                   c->text, t0g + t, c->Pv, c->Mv, c->sc,
                                   lo, hi, c->pos_v, c->prolog,
                                   cin_p, cin_m, co_p, co_m);
-                if (s + 1 < c->active)
+                if (s + 1 < active)
                     __atomic_store_n(&c->done[s].v, t0g + t + 4,
                                      __ATOMIC_RELEASE);
             }
         }
-        qh_sbar_wait(&c->bar, &ls);
-        if (s == 0) qh_bmt_maintain(c);
-        qh_sbar_wait(&c->bar, &ls);
+        /* The carry handoffs order strip completions: strip s reaches
+         * column t0g+64 only after acquiring done[s-1] >= t0g+64, so
+         * when the LAST active strip finishes the block, every strip
+         * has — and their writes are visible to it through the
+         * release/acquire chain. It therefore runs the serial
+         * maintenance immediately (no barrier) and publishes bseq. */
+        if (s == active - 1) {
+            qh_bmt_maintain(c);
+            __atomic_store_n(&c->bseq, k + 1, __ATOMIC_RELEASE);
+        }
     }
 }
 
@@ -700,7 +704,6 @@ static int64_t qh_banded_score_n(
                 spawned++;
             }
             bc->T = spawned + 1;
-            bc->bar.total = spawned + 1;
             qh_bmt_partition(bc);
             __atomic_store_n(&bc->go, 1, __ATOMIC_RELEASE);
             qh_bmt_work(bc, 0);
@@ -1515,24 +1518,37 @@ typedef struct {
     const int64_t *ops_off;   /* per-pair offsets into ops */
     int64_t *ops_len;
     volatile int64_t next;
+    int64_t chunk;
     pthread_mutex_t lock;
 } qh_batch_ctx_t;
 
 static void *qh_batch_worker(void *arg) {
     qh_batch_ctx_t *ctx = (qh_batch_ctx_t *)arg;
+    /* Chunked work claiming: a short-read pair is ~5 us of work, so a
+       per-pair mutex round-trip serializes the pool at 100k-pair batch
+       sizes (measured: 1.9x at 4 threads before, embarrassingly
+       parallel work). One atomic fetch-add claims `chunk` pairs; the
+       chunk count keeps ~64 claims per thread for stealing balance. */
+    const int64_t chunk = ctx->chunk;
     for (;;) {
-        pthread_mutex_lock(&ctx->lock);
-        int64_t i = ctx->next++;
-        pthread_mutex_unlock(&ctx->lock);
-        if (i >= ctx->n_pairs) break;
-        const uint8_t *p = (const uint8_t *)ctx->buf + ctx->offsets[2 * i];
-        const uint8_t *t = (const uint8_t *)ctx->buf + ctx->offsets[2 * i + 1];
-        qh_quicked_one(p, ctx->lengths[2 * i], t, ctx->lengths[2 * i + 1],
-                       ctx->bandwidth, ctx->ws, ctx->ovl,
-                       ctx->thr0, ctx->thr1, ctx->pct0, ctx->pct1,
-                       ctx->budget, ctx->intra,
-                       &ctx->scores[i], &ctx->status[i],
-                       ctx->ops + ctx->ops_off[i], &ctx->ops_len[i]);
+        int64_t i0 = __atomic_fetch_add(&ctx->next, chunk,
+                                        __ATOMIC_RELAXED);
+        if (i0 >= ctx->n_pairs) break;
+        int64_t i1 = i0 + chunk;
+        if (i1 > ctx->n_pairs) i1 = ctx->n_pairs;
+        for (int64_t i = i0; i < i1; i++) {
+            const uint8_t *p =
+                (const uint8_t *)ctx->buf + ctx->offsets[2 * i];
+            const uint8_t *t =
+                (const uint8_t *)ctx->buf + ctx->offsets[2 * i + 1];
+            qh_quicked_one(p, ctx->lengths[2 * i], t,
+                           ctx->lengths[2 * i + 1],
+                           ctx->bandwidth, ctx->ws, ctx->ovl,
+                           ctx->thr0, ctx->thr1, ctx->pct0, ctx->pct1,
+                           ctx->budget, ctx->intra,
+                           &ctx->scores[i], &ctx->status[i],
+                           ctx->ops + ctx->ops_off[i], &ctx->ops_len[i]);
+        }
     }
     return NULL;
 }
@@ -1565,6 +1581,11 @@ int64_t qh_quicked_batch(
 
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 64) n_threads = 64;
+    /* ~64 claims per thread bounds the stolen-tail imbalance at ~1.5%
+       while keeping the claim traffic negligible */
+    ctx.chunk = n_pairs / (n_threads * 64);
+    if (ctx.chunk < 1) ctx.chunk = 1;
+    if (ctx.chunk > 4096) ctx.chunk = 4096;
     /* leftover parallelism goes inside each pair's stage-3 band */
     ctx.intra = 1;
     if (n_pairs > 0 && n_threads > n_pairs) {
@@ -1597,33 +1618,84 @@ int64_t qh_quicked_batch(
  * packed per-pair op strings a batch call produced: one ctypes call for
  * the whole batch. out capacity per pair: 3*len + 16.
  */
+typedef struct {
+    const char *ops;
+    const int64_t *off, *len;
+    int64_t n, print_matches;
+    char *out;
+    const int64_t *out_off;
+    int64_t *out_len;
+    volatile int64_t next;
+    int64_t chunk;
+} qh_csb_ctx_t;
+
+static void *qh_csb_worker(void *arg) {
+    qh_csb_ctx_t *c = (qh_csb_ctx_t *)arg;
+    const int64_t chunk = c->chunk;
+    for (;;) {
+        int64_t i0 = __atomic_fetch_add(&c->next, chunk,
+                                        __ATOMIC_RELAXED);
+        if (i0 >= c->n) break;
+        int64_t i1 = i0 + chunk;
+        if (i1 > c->n) i1 = c->n;
+        for (int64_t i = i0; i < i1; i++) {
+            const char *o = c->ops + c->off[i];
+            char *w0 = c->out + c->out_off[i], *w = w0;
+            int64_t m = c->len[i];
+            int64_t j = 0;
+            while (j < m) {
+                char ch = o[j];
+                int64_t run = 1;
+                while (j + run < m && o[j + run] == ch) run++;
+                if (c->print_matches || ch != 'M') {
+                    /* write run count then op char */
+                    char tmp[24];
+                    int64_t k = 0, r = run;
+                    do { tmp[k++] = (char)('0' + (r % 10)); r /= 10; }
+                    while (r);
+                    while (k) *w++ = tmp[--k];
+                    *w++ = ch;
+                }
+                j += run;
+            }
+            c->out_len[i] = (int64_t)(w - w0);
+        }
+    }
+    return NULL;
+}
+
 int64_t qh_cigar_sprint_batch(
     const char *ops, const int64_t *off, const int64_t *len, int64_t n,
     int64_t print_matches,
-    char *out, const int64_t *out_off, int64_t *out_len) {
-    int64_t total = 0;
-    for (int64_t i = 0; i < n; i++) {
-        const char *o = ops + off[i];
-        char *w0 = out + out_off[i], *w = w0;
-        int64_t m = len[i];
-        int64_t j = 0;
-        while (j < m) {
-            char c = o[j];
-            int64_t run = 1;
-            while (j + run < m && o[j + run] == c) run++;
-            if (print_matches || c != 'M') {
-                /* write run count then op char */
-                char tmp[24];
-                int64_t k = 0, r = run;
-                do { tmp[k++] = (char)('0' + (r % 10)); r /= 10; } while (r);
-                while (k) *w++ = tmp[--k];
-                *w++ = c;
-            }
-            j += run;
+    char *out, const int64_t *out_off, int64_t *out_len,
+    int64_t n_threads) {
+    qh_csb_ctx_t c;
+    c.ops = ops; c.off = off; c.len = len; c.n = n;
+    c.print_matches = print_matches;
+    c.out = out; c.out_off = out_off; c.out_len = out_len;
+    c.next = 0;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > n) n_threads = n > 0 ? n : 1;
+    c.chunk = n / (n_threads * 64);
+    if (c.chunk < 1) c.chunk = 1;
+    if (c.chunk > 4096) c.chunk = 4096;
+    if (n_threads == 1) {
+        qh_csb_worker(&c);
+    } else {
+        pthread_t tids[64];
+        int64_t spawned = 0;
+        for (int64_t k = 0; k < n_threads; k++) {
+            if (pthread_create(&tids[k], NULL, qh_csb_worker, &c) != 0)
+                break;
+            spawned++;
         }
-        out_len[i] = (int64_t)(w - w0);
-        total += out_len[i];
+        if (spawned == 0) qh_csb_worker(&c);
+        for (int64_t k = 0; k < spawned; k++)
+            pthread_join(tids[k], NULL);
     }
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) total += out_len[i];
     return total;
 }
 
@@ -2014,9 +2086,9 @@ typedef struct {
 static void *qh_bsb_worker(void *arg) {
     qh_bsb_ctx_t *c = (qh_bsb_ctx_t *)arg;
     for (;;) {
-        pthread_mutex_lock(&c->lock);
-        int64_t i = c->next++;
-        pthread_mutex_unlock(&c->lock);
+        /* lanes are ms-coarse, but the atomic claim still beats a
+           mutex round-trip and frees the lock for nothing */
+        int64_t i = __atomic_fetch_add(&c->next, 1, __ATOMIC_RELAXED);
         if (i >= c->n) break;
         if (c->want_state) {
             c->score[i] = qh_banded_score_n(

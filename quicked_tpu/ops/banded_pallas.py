@@ -132,6 +132,11 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
         c = (text_ref[0, j // 4, :] >> (8 * (j % 4))) & 0xFF
         t_global = nb * W + j
         col_act = t_global < tfinish
+        # the char-class compares are block-row-invariant: compute the
+        # 4 select masks ONCE per column here instead of per band block
+        # inside blk_body (the fori_loop body re-traces its contents,
+        # so Mosaic cannot hoist them itself)
+        sels = [c == a for a in range(1, 5)]
 
         def blk_body(i, carry):
             phin, mhin = carry
@@ -140,7 +145,7 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
             eq_lo = row_lo[0]
             eq_hi = row_hi[0]
             for a in range(1, 5):
-                sel = c == a
+                sel = sels[a - 1]
                 eq_lo = jnp.where(sel, row_lo[a], eq_lo)
                 eq_hi = jnp.where(sel, row_hi[a], eq_hi)
             is_first = i == first
