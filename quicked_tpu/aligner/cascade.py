@@ -240,15 +240,20 @@ def _native_fast_max(bandwidth: int) -> int:
 
 
 # Fast-link short-read routing model (round-4 measured rates, this
-# v5e): the native one-call C cascade runs ~32 Mbases/s on short reads
-# (w3: 0.31 s / 10 Mbases, 4 cores); the device cascade's compute
-# (windowed bound 0.8M pairs/s + fill+records 2.8M pairs/s + C record
-# expansion) ~62 Mbases/s, but pays ~25 staged bytes/base over the link
-# plus a few dispatches. On PCIe-class links the device lane wins for
-# batches beyond ~300 kbases; through this dev tunnel (20 MB/s) the
-# transfer term keeps the native lane ahead at any size — which the
-# inequality reproduces. QUICKED_TPU_STAGED_SHORT=0/1 force-overrides.
-_NATIVE_CASCADE_BASES_S = 32e6
+# v5e): the native one-call C cascade runs ~61 Mbases/s on short reads
+# after the concurrency rework (w3: 0.165 s / 10 Mbases, 4 cores;
+# was 32 Mbases/s with the per-pair mutex pool + per-chunk marshal);
+# the device cascade's compute (windowed bound 0.8M pairs/s +
+# fill+records 2.8M pairs/s + C record expansion) ~62 Mbases/s, but
+# pays ~25 staged bytes/base over the link plus a few dispatches. With
+# the host lane at compute parity, the staged lane only wins on hosts
+# with FEWER cores or bigger accelerators than this 4-core dev box —
+# the inequality keeps routing by the measured link/dispatch either
+# way. The native rate scales with the host's core count (the batch
+# pool is embarrassingly parallel post-rework; 4 independent processes
+# scale perfectly on this box); the staged rate is per TPU chip.
+# QUICKED_TPU_STAGED_SHORT=0/1 force-overrides.
+_NATIVE_CASCADE_BASES_S_PER_CORE = 15.25e6
 _STAGED_CASCADE_BASES_S = 62e6
 _STAGED_BYTES_PER_BASE = 25.0
 
@@ -262,7 +267,8 @@ def _prefer_staged_short(total_bases: int) -> bool:
     from quicked_tpu.aligner import batch as ab
 
     link = ab._device_readback_mbps() * 1e6
-    native_s = total_bases / _NATIVE_CASCADE_BASES_S
+    native_rate = _NATIVE_CASCADE_BASES_S_PER_CORE * (os.cpu_count() or 1)
+    native_s = total_bases / native_rate
     staged_s = (4 * ab._device_dispatch_s()
                 + total_bases * _STAGED_BYTES_PER_BASE / max(link, 1.0)
                 + total_bases / _STAGED_CASCADE_BASES_S)

@@ -295,15 +295,20 @@ def test_device_calibration_declines_off_tpu(tmp_path, monkeypatch):
 
 
 def test_prefer_staged_short_flips_with_link(monkeypatch):
-    """Short-read cascade routing: a PCIe-class link sends big batches
-    through the staged device cascade; the dev tunnel keeps the native
-    C lane at any size (round-4 rates model)."""
+    """Short-read cascade routing: on a small host with a PCIe-class
+    link, big batches take the staged device cascade; a many-core host
+    or the dev tunnel keeps the native C lane (round-4 rates model,
+    native rate scales per core after the concurrency rework)."""
     from quicked_tpu.aligner import cascade as cs
 
     monkeypatch.setattr(ab, "_DISPATCH_S", [0.001])
     monkeypatch.setattr(ab, "_LINK_MBPS", [10_000.0])
+    monkeypatch.setattr(cs.os, "cpu_count", lambda: 2)
     assert cs._prefer_staged_short(10_000_000)       # w3-sized
     assert not cs._prefer_staged_short(50_000)       # tiny batch
+    monkeypatch.setattr(cs.os, "cpu_count", lambda: 64)
+    assert not cs._prefer_staged_short(10_000_000)   # many-core host
+    monkeypatch.setattr(cs.os, "cpu_count", lambda: 2)
     monkeypatch.setattr(ab, "_LINK_MBPS", [20.0])
     assert not cs._prefer_staged_short(10_000_000)   # tunnel: native
     monkeypatch.setenv("QUICKED_TPU_STAGED_SHORT", "1")
