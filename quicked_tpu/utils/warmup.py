@@ -30,6 +30,8 @@ _INFLIGHT: set = set()
 _QUEUE: list = []
 _WORKER: threading.Thread | None = None
 _CV = threading.Condition(_LOCK)
+_SHUTDOWN = False
+_HOOKED = False
 
 
 def enabled() -> bool:
@@ -39,8 +41,10 @@ def enabled() -> bool:
 def _worker_main() -> None:
     while True:
         with _CV:
-            while not _QUEUE:
+            while not _QUEUE and not _SHUTDOWN:
                 _CV.wait()
+            if _SHUTDOWN and not _QUEUE:
+                return
             key, fn = _QUEUE.pop(0)
         try:
             fn()
@@ -80,11 +84,52 @@ def defer_cold(key, warm_fn) -> bool:
             _INFLIGHT.add(key)
             _QUEUE.append((key, warm_fn))
             if _WORKER is None or not _WORKER.is_alive():
-                _WORKER = threading.Thread(
-                    target=_worker_main, name="quicked-warmup", daemon=True)
-                _WORKER.start()
+                _WORKER = _start_worker()
             _CV.notify()
         return True
+
+
+def _drain_at_shutdown() -> None:
+    """Interpreter-exit hook (threading._register_atexit: runs at the
+    START of threading._shutdown, before non-daemon joins): abandon
+    queued warmups — they can only ever help THIS process, which is
+    exiting — and let the worker finish its one in-flight compile and
+    return. A daemon worker parked inside an XLA compile instead
+    ABORTS the whole interpreter at finalization (pthread_exit's
+    forced unwind hits a catch(...) in the C++ runtime: 'FATAL:
+    exception not rethrown', observed on a 1 Mbp one-shot CLI run
+    whose deep Hirschberg levels enqueued a ~60 s hsplit-op compile).
+    """
+    global _SHUTDOWN
+    with _CV:
+        _SHUTDOWN = True
+        _QUEUE.clear()
+        _CV.notify_all()
+
+
+def _start_worker() -> threading.Thread:
+    """Start the warmup worker. Non-daemon + shutdown hook where the
+    private-but-stable threading._register_atexit exists (3.9+): the
+    interpreter then waits for the in-flight compile instead of
+    force-unwinding it. Daemon fallback otherwise (the pre-fix
+    behavior) so exotic runtimes still work."""
+    global _HOOKED
+    register = getattr(threading, "_register_atexit", None)
+    if register is not None:
+        try:
+            if not _HOOKED:
+                register(_drain_at_shutdown)
+                _HOOKED = True
+            w = threading.Thread(target=_worker_main,
+                                 name="quicked-warmup", daemon=False)
+            w.start()
+            return w
+        except RuntimeError:
+            pass    # already shutting down: fall through to daemon
+    w = threading.Thread(target=_worker_main, name="quicked-warmup",
+                         daemon=True)
+    w.start()
+    return w
 
 
 def wait_idle(timeout: float = 120.0) -> bool:

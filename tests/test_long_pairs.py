@@ -19,6 +19,9 @@ CLI = os.path.join(REPO, "tools", "align_benchmark")
 @pytest.mark.parametrize("length,n,error", [
     (10_000, 4, 0.10),
     (100_000, 2, 0.10),
+    # the reference's own CI long regime (tests/random_test.sh:60-63:
+    # L=1 Mbp x 10 @ 10%), at reduced count like the rows above
+    (1_000_000, 2, 0.10),
 ])
 def test_long_pair_cli_parity(length, n, error, tmp_path):
     if oracle.oracle_path("align_benchmark") is None:

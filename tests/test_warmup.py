@@ -13,6 +13,10 @@ import jax
 from quicked_tpu import native
 from quicked_tpu.utils import warmup
 
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture(autouse=True)
 def _clean_warmup_state():
@@ -105,3 +109,39 @@ def test_windowed_cold_deferral_routes_host_then_device(monkeypatch):
     for i, (p, t) in enumerate(pairs):
         ms, _, mh = myers_np.windowed_compute(p, t, 40, 2, 1, True)
         assert int(s1[i]) == ms and int(h1[i]) == mh
+
+
+def test_shutdown_drains_inflight_and_abandons_queue(tmp_path):
+    """Interpreter exit with a warmup IN FLIGHT must (a) not abort the
+    process (a daemon worker parked inside an XLA compile force-unwinds
+    C++ frames at finalization: 'FATAL: exception not rethrown' —
+    observed on a 1 Mbp one-shot CLI run), (b) finish the in-flight fn,
+    and (c) abandon fns still queued behind it."""
+    import subprocess
+    import sys
+
+    inflight = tmp_path / "inflight.done"
+    queued = tmp_path / "queued.done"
+    script = tmp_path / "exit_while_warming.py"
+    script.write_text(f"""
+import sys, time
+sys.path.insert(0, {repr(REPO)})
+from quicked_tpu.utils import warmup
+
+def slow():
+    time.sleep(1.0)
+    open({repr(str(inflight))}, "w").write("x")
+
+def later():
+    open({repr(str(queued))}, "w").write("x")
+
+assert warmup.defer_cold("k1", slow)
+time.sleep(0.1)             # let the worker pick up `slow`
+assert warmup.defer_cold("k2", later)
+# exit immediately: k1 is mid-flight, k2 still queued
+""")
+    r = subprocess.run([sys.executable, str(script)],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert inflight.exists(), "in-flight warmup was not drained"
+    assert not queued.exists(), "queued warmup should be abandoned"
