@@ -509,8 +509,7 @@ def _device_with_cold_deferral(family: str, batch, run_dev):
                                                run_banded_native)
     from quicked_tpu.utils import warmup
 
-    key = (family, batch.B, batch.EBB, batch.NB, bool(batch.full),
-           batch.B)
+    key = (family, batch.B, batch.EBB, batch.NB, bool(batch.full))
     if native_available() and batch.enc_patterns is not None and \
             warmup.defer_cold(key, lambda: run_dev(batch)):
         _venue(family + "_warming")
@@ -602,16 +601,17 @@ def _run_banded_auto(batch):
     return run_banded(batch)
 
 
-def _traceback_tiled(mats_tiled, lanes, batch, sub, patterns, texts):
+def _traceback_tiled(mats_tiled, lanes, batch, sub, praws, traws):
     """Host traceback over the Pallas full kernel's lane-tiled
     (P, T, EBB8, LANES) planes: one native call for the whole batch
     (pthread pool inside). The earlier per-pair ctypes dispatch cost
     ~60 us/pair under the GIL and capped the device full-fill lane at
-    ~17k pairs/s on short reads (PERFORMANCE.md workload-3)."""
+    ~17k pairs/s on short reads (PERFORMANCE.md workload-3).
+    praws/traws: RAW byte strings per `sub` entry (the traceback's
+    M-vs-X test compares raw chars, which pre-encoded inputs
+    collapse)."""
     from quicked_tpu import native
 
-    praws = [_raw_bytes(patterns[i]).tobytes() for i in sub]
-    traws = [_raw_bytes(texts[i]).tobytes() for i in sub]
     return native.traceback_banded_batch(
         mats_tiled, lanes, praws, traws,
         [int(batch.prolog[j]) for j in range(len(sub))])
@@ -801,8 +801,7 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                 else:
                     runner = lambda b=batch: run_banded_pallas(b)
                 key = ("full_pallas_tb" if use_tb else "full_pallas",
-                       batch.B, batch.EBB, batch.NB,
-                       batch.B)
+                       batch.B, batch.EBB, batch.NB)
                 if warmup.defer_cold(key, runner):
                     # cold shape: per-pair host C fill+traceback now,
                     # device kernel compiles in the background
@@ -836,8 +835,10 @@ def banded_align_batch(patterns, texts, cutoffs, *, only_score: bool,
                 scores[i] = sc[j]
             if not only_score:
                 if "mats_tiled" in out:
-                    ops = _traceback_tiled(out["mats_tiled"], out["lanes"],
-                                           batch, sub, patterns, texts)
+                    ops = _traceback_tiled(
+                        out["mats_tiled"], out["lanes"], batch, sub,
+                        [_praw(i) for i in sub],
+                        [_traw(i) for i in sub])
                 else:
                     ops = banded_traceback_batch(
                         out["mat_pv_lo"], out["mat_pv_hi"],

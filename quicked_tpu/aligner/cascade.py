@@ -258,6 +258,16 @@ _STAGED_CASCADE_BASES_S = 62e6
 _STAGED_BYTES_PER_BASE = 25.0
 
 
+def _usable_cores() -> int:
+    """Cores this PROCESS can run on (cgroup/affinity-aware): a
+    container pinned to 2 of 64 cores must not model the native lane
+    at 64-core throughput."""
+    try:
+        return max(len(os.sched_getaffinity(0)), 1)
+    except (AttributeError, OSError):
+        return os.cpu_count() or 1
+
+
 def _prefer_staged_short(total_bases: int) -> bool:
     """True when the staged device cascade beats the native C lane for
     a short-read batch of `total_bases` on the measured link."""
@@ -267,7 +277,7 @@ def _prefer_staged_short(total_bases: int) -> bool:
     from quicked_tpu.aligner import batch as ab
 
     link = ab._device_readback_mbps() * 1e6
-    native_rate = _NATIVE_CASCADE_BASES_S_PER_CORE * (os.cpu_count() or 1)
+    native_rate = _NATIVE_CASCADE_BASES_S_PER_CORE * _usable_cores()
     native_s = total_bases / native_rate
     staged_s = (4 * ab._device_dispatch_s()
                 + total_bases * _STAGED_BYTES_PER_BASE / max(link, 1.0)

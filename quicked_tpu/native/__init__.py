@@ -35,8 +35,14 @@ def default_threads() -> int:
     budget = getattr(_tls, "budget", None)
     if budget is not None:
         return budget
-    return int(os.environ.get("QUICKED_TPU_CPU_THREADS",
-                              os.cpu_count() or 1))
+    env = os.environ.get("QUICKED_TPU_CPU_THREADS")
+    if env is not None:
+        return int(env)
+    try:    # affinity-aware: a cgroup-pinned process must not spawn
+            # machine-wide thread counts
+        return max(len(os.sched_getaffinity(0)), 1)
+    except (AttributeError, OSError):
+        return os.cpu_count() or 1
 
 
 class thread_budget:

@@ -510,6 +510,17 @@ typedef struct {
      * spins (acquire) before starting block k+1. Replaces the two
      * full spin barriers per block of the earlier design. */
     volatile int64_t bseq;
+    /* partition version seqlock: even value 2*g means active/s_lo are
+     * the consistent partition FOR BLOCK g (odd = maintainer mid-
+     * write). A thread that reads generation g > its own block k
+     * thereby learns the system maintained block k without it — i.e.
+     * it was NOT an active strip of k (an active strip's columns are
+     * required for the block to complete) — and must skip the block.
+     * Without the version tag, a thread descheduled between the bseq
+     * wait and the partition read could apply block k+1's partition
+     * to block k (deadlock on never-published carries, or a double
+     * maintenance). */
+    volatile int64_t pver;
     volatile int go;
 } qh_bmt_t;
 
@@ -548,11 +559,18 @@ static void qh_bmt_maintain(qh_bmt_t *c) {
         && (sc[last + pos_v - 1 + c->prolog]
             + (QH_W * (last - 1) - c->finish_v)) > c->cutoff;
     if (cut_higher || (pos_v + last >= c->nbr)) last -= 1;
+    /* seqlock write of the next block's partition + walk state: odd
+     * pver = mid-write; the final even value 2*(k+1) tags the
+     * partition with the block it belongs to. SEQ_CST stores double
+     * as compiler barriers so the plain field writes cannot move
+     * outside the odd window. */
+    __atomic_store_n(&c->pver, c->pver + 1, __ATOMIC_SEQ_CST);
     c->first = first;
     c->last = last;
     c->pos_v = pos_v + 1;
     c->pos_h = pos_h + 1;
     qh_bmt_partition(c);
+    __atomic_store_n(&c->pver, c->pver + 1, __ATOMIC_SEQ_CST);
 }
 
 static void qh_bmt_work(qh_bmt_t *c, int s) {
@@ -566,10 +584,37 @@ static void qh_bmt_work(qh_bmt_t *c, int s) {
             while (__atomic_load_n(&c->bseq, __ATOMIC_ACQUIRE) < k)
                 qh_spin_step(&spins);
         }
-        const int active = c->active;
+        /* seqlock partition read, tagged with its block generation.
+         * bseq >= k guarantees generation >= k is published; a
+         * generation > k means the system maintained block k WITHOUT
+         * this thread (it was not an active strip — an active strip's
+         * columns are required for a block to complete), so it must
+         * skip the block rather than apply a later partition to it. */
+        int active;
+        int64_t lo = 0, hi = -1;
+        int64_t pspins = 0;
+        for (;;) {
+            int64_t v1 = __atomic_load_n(&c->pver, __ATOMIC_SEQ_CST);
+            if (!(v1 & 1)) {
+                active = c->active;
+                if (s < active) {
+                    lo = c->s_lo[s];
+                    hi = c->s_lo[s + 1] - 1;
+                }
+                int64_t v2 = __atomic_load_n(&c->pver, __ATOMIC_SEQ_CST);
+                if (v2 == v1) {
+                    if (v1 / 2 > k) {
+                        active = -2;   /* sentinel: skip this block */
+                    }
+                    break;
+                }
+            }
+            qh_spin_step(&pspins);
+        }
+        if (active == -2)
+            continue;
         const int64_t t0g = k * QH_W;
         if (s < active) {
-            const int64_t lo = c->s_lo[s], hi = c->s_lo[s + 1] - 1;
             for (int64_t t = 0; t < QH_W; t += 4) {
                 const uint8_t *cin_p = QH_ONE4, *cin_m = QH_ZERO4;
                 if (s > 0) {
@@ -1519,7 +1564,6 @@ typedef struct {
     int64_t *ops_len;
     volatile int64_t next;
     int64_t chunk;
-    pthread_mutex_t lock;
 } qh_batch_ctx_t;
 
 static void *qh_batch_worker(void *arg) {
@@ -1577,7 +1621,6 @@ int64_t qh_quicked_batch(
     ctx.scores = scores_out; ctx.status = status_out;
     ctx.ops = ops_out; ctx.ops_off = ops_offsets; ctx.ops_len = ops_len_out;
     ctx.next = 0;
-    pthread_mutex_init(&ctx.lock, NULL);
 
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 64) n_threads = 64;
@@ -1607,7 +1650,6 @@ int64_t qh_quicked_batch(
         for (int64_t k = 0; k < spawned; k++)
             pthread_join(tids[k], NULL);
     }
-    pthread_mutex_destroy(&ctx.lock);
     int64_t done = 0;
     for (int64_t i = 0; i < n_pairs; i++) done += (status_out[i] == 0);
     return done;
@@ -2080,7 +2122,6 @@ typedef struct {
     int64_t rows_stride;
     int64_t *ebb;
     volatile int64_t next;
-    pthread_mutex_t lock;
 } qh_bsb_ctx_t;
 
 static void *qh_bsb_worker(void *arg) {
@@ -2140,7 +2181,6 @@ int64_t qh_banded_score_batch(
     c.first = first_out; c.last = last_out;
     c.scores = scores_out; c.rows_stride = rows_stride; c.ebb = ebb_out;
     c.next = 0;
-    pthread_mutex_init(&c.lock, NULL);
     if (n_threads < 1) n_threads = 1;
     if (n_threads > 64) n_threads = 64;
     if (n_threads > n) n_threads = n > 0 ? n : 1;
@@ -2158,6 +2198,5 @@ int64_t qh_banded_score_batch(
         for (int64_t k = 0; k < spawned; k++)
             pthread_join(tids[k], NULL);
     }
-    pthread_mutex_destroy(&c.lock);
     return n;
 }

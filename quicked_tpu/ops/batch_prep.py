@@ -63,7 +63,7 @@ def pack_peq_batch(enc_list, num_words: int):
 #: Device-plane fields built lazily on first access (see BandedBatch).
 _PLANE_FIELDS = frozenset((
     "peq_lo", "peq_hi", "lm_lo", "lm_hi", "text", "init_scores"))
-_PLANES_LOCK = __import__("threading").Lock()
+_threading = __import__("threading")
 
 
 @dataclasses.dataclass
@@ -107,13 +107,17 @@ class BandedBatch:
     plane_builder: object = dataclasses.field(
         default=None, repr=False, compare=False)
 
+    def __post_init__(self):
+        # per-instance lock: a warmup background compile and the
+        # foreground call can race to the first plane access on the
+        # SAME batch; unrelated batches must not serialize on it
+        object.__setattr__(self, "_plane_lock", _threading.Lock())
+
     def __getattribute__(self, name):
         if name in _PLANE_FIELDS and \
                 object.__getattribute__(self, name) is None and \
                 object.__getattribute__(self, "plane_builder") is not None:
-            # lock: a warmup background compile and the foreground call
-            # can race to the first plane access on the same batch
-            with _PLANES_LOCK:
+            with object.__getattribute__(self, "_plane_lock"):
                 builder = object.__getattribute__(self, "plane_builder")
                 if builder is not None:
                     for k, v in builder().items():

@@ -203,6 +203,15 @@ def _check_pair(mode, pattern, text, score, cigar_rle, stats, verbose,
 
 
 def main(argv=None) -> int:
+    rc = _main(argv)
+    # record the exit code for the warmup module's bounded exit drain
+    # (a hard os._exit escape cannot see it otherwise)
+    from quicked_tpu.utils import warmup
+    warmup.note_exit_code(rc)
+    return rc
+
+
+def _main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.algorithm == "edlib":
         from quicked_tpu.tools._edlib_oracle import find_edlib_oracle

@@ -89,6 +89,18 @@ def defer_cold(key, warm_fn) -> bool:
         return True
 
 
+#: Exit code os._exit uses if the in-flight warmup outlasts the exit
+#: bound (CLIs record theirs via note_exit_code; default 0).
+_EXIT_CODE = 0
+
+
+def note_exit_code(code: int) -> None:
+    """Record the process's intended exit code for the bounded-drain
+    escape hatch in _drain_at_shutdown (os._exit cannot know it)."""
+    global _EXIT_CODE
+    _EXIT_CODE = int(code) if code else 0
+
+
 def _drain_at_shutdown() -> None:
     """Interpreter-exit hook (threading._register_atexit: runs at the
     START of threading._shutdown, before non-daemon joins): abandon
@@ -99,12 +111,34 @@ def _drain_at_shutdown() -> None:
     forced unwind hits a catch(...) in the C++ runtime: 'FATAL:
     exception not rethrown', observed on a 1 Mbp one-shot CLI run
     whose deep Hirschberg levels enqueued a ~60 s hsplit-op compile).
+
+    The subsequent non-daemon join is BOUNDED here: a compile stuck on
+    a wedged device link could otherwise hang process exit for tens of
+    minutes. Past QUICKED_TPU_WARMUP_EXIT_WAIT_S (default 30 s) the
+    process hard-exits via os._exit — outputs were written by the main
+    thread already, and a hard exit cannot be force-unwound.
     """
     global _SHUTDOWN
     with _CV:
         _SHUTDOWN = True
         _QUEUE.clear()
         _CV.notify_all()
+        busy = bool(_INFLIGHT)
+    if not busy:
+        return
+    bound = float(os.environ.get("QUICKED_TPU_WARMUP_EXIT_WAIT_S", "30"))
+    if wait_idle(timeout=bound):
+        return
+    import sys
+
+    print("quicked_tpu: abandoning a background kernel warmup still "
+          f"running after {bound:.0f}s at exit", file=sys.stderr)
+    sys.stderr.flush()
+    try:
+        sys.stdout.flush()
+    except (OSError, ValueError):
+        pass
+    os._exit(_EXIT_CODE)
 
 
 def _start_worker() -> threading.Thread:

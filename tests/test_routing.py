@@ -303,12 +303,12 @@ def test_prefer_staged_short_flips_with_link(monkeypatch):
 
     monkeypatch.setattr(ab, "_DISPATCH_S", [0.001])
     monkeypatch.setattr(ab, "_LINK_MBPS", [10_000.0])
-    monkeypatch.setattr(cs.os, "cpu_count", lambda: 2)
+    monkeypatch.setattr(cs, "_usable_cores", lambda: 2)
     assert cs._prefer_staged_short(10_000_000)       # w3-sized
     assert not cs._prefer_staged_short(50_000)       # tiny batch
-    monkeypatch.setattr(cs.os, "cpu_count", lambda: 64)
+    monkeypatch.setattr(cs, "_usable_cores", lambda: 64)
     assert not cs._prefer_staged_short(10_000_000)   # many-core host
-    monkeypatch.setattr(cs.os, "cpu_count", lambda: 2)
+    monkeypatch.setattr(cs, "_usable_cores", lambda: 2)
     monkeypatch.setattr(ab, "_LINK_MBPS", [20.0])
     assert not cs._prefer_staged_short(10_000_000)   # tunnel: native
     monkeypatch.setenv("QUICKED_TPU_STAGED_SHORT", "1")

@@ -122,13 +122,15 @@ def test_shutdown_drains_inflight_and_abandons_queue(tmp_path):
 
     inflight = tmp_path / "inflight.done"
     queued = tmp_path / "queued.done"
+    started = tmp_path / "inflight.started"
     script = tmp_path / "exit_while_warming.py"
     script.write_text(f"""
-import sys, time
+import os, sys, time
 sys.path.insert(0, {repr(REPO)})
 from quicked_tpu.utils import warmup
 
 def slow():
+    open({repr(str(started))}, "w").write("x")
     time.sleep(1.0)
     open({repr(str(inflight))}, "w").write("x")
 
@@ -136,7 +138,14 @@ def later():
     open({repr(str(queued))}, "w").write("x")
 
 assert warmup.defer_cold("k1", slow)
-time.sleep(0.1)             # let the worker pick up `slow`
+# deterministic: wait until the worker has actually STARTED k1 (a
+# fixed sleep races on loaded hosts and the drain would then abandon
+# both entries)
+for _ in range(500):
+    if os.path.exists({repr(str(started))}):
+        break
+    time.sleep(0.01)
+assert os.path.exists({repr(str(started))})
 assert warmup.defer_cold("k2", later)
 # exit immediately: k1 is mid-flight, k2 still queued
 """)
