@@ -18,9 +18,11 @@
 
 #include <stdint.h>
 #include <stddef.h>
+#include <stdio.h>
 #include <string.h>
 #include <pthread.h>
 #include <sched.h>
+#include <time.h>
 #include <unistd.h>
 
 #define W 64
@@ -488,6 +490,47 @@ static inline void qh_spin_step(int64_t *spins) {
     else { sched_yield(); *spins = 0; }
 }
 
+/* Instantaneous free-core estimate for the intra-pair wavefront:
+ * cores not already occupied by OTHER runnable threads
+ * (/proc/stat procs_running counts this thread too). The wavefront's
+ * fine-grained carry handoffs stall EVERY strip when one strip loses
+ * its core, so on a co-loaded host running fewer strips (or serial)
+ * beats oversubscribing — round-4 driver runs measured the 4-strip
+ * ONT score 2x SLOWER than serial under background load. Two samples
+ * 100 us apart, taking the min of "others", so one scheduler blip
+ * does not needlessly serialize. QUICKED_TPU_NO_ADAPT=1 disables. */
+static long qh_other_runnable_once(void) {
+    FILE *f = fopen("/proc/stat", "re");
+    if (!f) return 0;
+    char line[192];
+    long running = 1;
+    while (fgets(line, sizeof line, f)) {
+        if (strncmp(line, "procs_running", 13) == 0) {
+            running = atol(line + 13);
+            break;
+        }
+    }
+    fclose(f);
+    return running > 1 ? running - 1 : 0;
+}
+
+static int qh_adaptive_cap(int want) {
+    const char *e = getenv("QUICKED_TPU_NO_ADAPT");
+    if (e && e[0] == '1') return want;
+    long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+    if (ncpu <= 0) return want;
+    long other = qh_other_runnable_once();
+    if (other > 0) {
+        struct timespec ts = {0, 100000};
+        nanosleep(&ts, NULL);
+        long o2 = qh_other_runnable_once();
+        if (o2 < other) other = o2;
+    }
+    long freec = ncpu - other;
+    if (freec < 1) freec = 1;
+    return want > freec ? (int)freec : want;
+}
+
 typedef struct {
     const uint64_t *peq;
     int64_t nw;
@@ -531,9 +574,14 @@ static void qh_bmt_partition(qh_bmt_t *c) {
     int a = (int)(span / 16);        /* >= 16 blocks per strip */
     if (a > c->T) a = c->T;
     if (a < 1) a = 1;
-    c->active = a;
+    /* relaxed atomics: readers race these inside the seqlock window
+     * (values discarded on version mismatch) — atomic accesses keep
+     * that formally data-race-free for TSan without extra ordering
+     * (the pver SEQ_CST stores provide it) */
+    __atomic_store_n(&c->active, a, __ATOMIC_RELAXED);
     for (int s = 0; s <= a; s++)
-        c->s_lo[s] = c->first + span * s / a;
+        __atomic_store_n(&c->s_lo[s], c->first + span * s / a,
+                         __ATOMIC_RELAXED);
 }
 
 /* serial maintenance between barriers (same decisions/shift as the
@@ -596,10 +644,11 @@ static void qh_bmt_work(qh_bmt_t *c, int s) {
         for (;;) {
             int64_t v1 = __atomic_load_n(&c->pver, __ATOMIC_SEQ_CST);
             if (!(v1 & 1)) {
-                active = c->active;
+                active = __atomic_load_n(&c->active, __ATOMIC_RELAXED);
                 if (s < active) {
-                    lo = c->s_lo[s];
-                    hi = c->s_lo[s + 1] - 1;
+                    lo = __atomic_load_n(&c->s_lo[s], __ATOMIC_RELAXED);
+                    hi = __atomic_load_n(&c->s_lo[s + 1],
+                                         __ATOMIC_RELAXED) - 1;
                 }
                 int64_t v2 = __atomic_load_n(&c->pver, __ATOMIC_SEQ_CST);
                 if (v2 == v1) {
@@ -725,6 +774,7 @@ static int64_t qh_banded_score_n(
     /* never oversubscribe: the wavefront needs every strip runnable */
     long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
     if (ncpu > 0 && Tmt > ncpu) Tmt = (int)ncpu;
+    if (Tmt > 1) Tmt = qh_adaptive_cap(Tmt);
     if (Tmt > 1 && !fsc && text_block >= 8 && last - first + 1 >= 48) {
         /* threaded wavefront over full 64-column blocks */
         qh_bmt_t *bc = (qh_bmt_t *)calloc(1, sizeof(qh_bmt_t));
