@@ -242,6 +242,17 @@ def main(workload_lines: bool = False):
         "vs_baseline": round(vs, 3),
         "parity": parity,
     }
+    # pinned denominator (benchmarks/pin_baseline.py): the same-run CPU
+    # rate above is re-measured on a possibly-contended host every run
+    # and wobbled cross-round headlines 40%; the pinned quiet-host rate
+    # makes trends comparable. Both are reported.
+    try:
+        with open(os.path.join(REPO, "BASELINE.json")) as f:
+            pinned_rate = json.load(f).get("pinned_cpu_rate_bases_per_s")
+        if pinned_rate:
+            out["vs_baseline_pinned"] = round(tpu / pinned_rate, 3)
+    except Exception:
+        pass
     if platform:
         out["platform_fallback"] = platform
     # End-to-end workload rows ride the same single JSON line (the

@@ -63,11 +63,14 @@ def _run_quicked(pairs):
 
 
 #: Warm repetitions per side. Sub-second workloads through a contended
-#: tunnel swing 2-4x run-to-run; a single warm timing is noise. The row
-#: records the MEDIAN of REPS runs plus the (max-min) spread for both
-#: the engine and the C reference so the scoreboard is decisive: a
-#: speedup only counts when it exceeds the recorded spread.
-REPS = int(os.environ.get("QUICKED_TPU_BENCH_REPS", "5"))
+#: tunnel swing 2-4x run-to-run; a single warm timing is noise. Engine
+#: and C-reference reps are INTERLEAVED pairwise (engine rep i, then C
+#: rep i, back-to-back) so both sides sample the same host load — a
+#: co-located driver's background work otherwise lands on whichever
+#: side happens to run later and flips the scoreboard sign (round 4:
+#: sequential protocol measured the engine 2x slower warm than cold
+#: while the C side ran on a quieter host seconds later).
+REPS = int(os.environ.get("QUICKED_TPU_BENCH_REPS", "7"))
 
 
 def _median(xs):
@@ -76,10 +79,31 @@ def _median(xs):
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
+def _trimmed_spread(xs):
+    """Spread with one outlier dropped per end (>=5 reps): one
+    descheduled rep on either side must not un-decide a row that six
+    other reps agree on. Applied identically to engine and reference;
+    the untrimmed spread is recorded alongside."""
+    s = sorted(xs)
+    return (s[-2] - s[1]) if len(s) >= 5 else (s[-1] - s[0])
+
+
+def _pinned_cpu_s(name):
+    """BASELINE.json's pinned single-thread C reference wall time for
+    this workload (measured once on a quiet host, benchmarks/
+    pin_baseline.py) — the stable cross-round denominator; the same-run
+    denominator stays the decisive-scoreboard comparator."""
+    try:
+        with open(os.path.join(REPO, "BASELINE.json")) as f:
+            return json.load(f).get("pinned_cpu_s", {}).get(name)
+    except Exception:
+        return None
+
+
 def _timed(name, pairs, warm_pairs=None, with_cpu=True):
-    """Cold call, median-of-REPS warm calls with spread, venue diff,
-    and the same median-of-REPS protocol on the C reference — the
-    standard row for every workload."""
+    """Cold call, then REPS interleaved (engine, C reference) warm rep
+    pairs; medians, spreads (full + trimmed), paired wins, venue diff —
+    the standard row for every workload."""
     from quicked_tpu.aligner import batch as ab
 
     if warm_pairs is not None:
@@ -94,8 +118,24 @@ def _timed(name, pairs, warm_pairs=None, with_cpu=True):
     after = ab.venue_snapshot()          # (calibration) flips excluded
     venues = {k: after[k] - before.get(k, 0) for k in after
               if after[k] != before.get(k, 0)}
+    warmup.wait_idle()
+    cpus = []
+    cpu_error = None
+    if with_cpu:
+        try:
+            c0 = _cpu_time(pairs)
+            if c0 is not None:
+                cpus.append(c0)
+        except Exception as e:          # oracle trouble must not kill rows
+            cpu_error = str(e)[:120]
     for _ in range(max(REPS - 1, 0)):
         warms.append(_run_quicked(pairs)[0])
+        if cpus:
+            try:
+                cpus.append(_cpu_time(pairs))
+            except Exception as e:
+                cpu_error = str(e)[:120]
+                break
     warm = _median(warms)
     bases = sum(max(len(p), len(t)) for p, t in pairs)
     row = {
@@ -106,72 +146,66 @@ def _timed(name, pairs, warm_pairs=None, with_cpu=True):
         "warm_s": round(warm, 3),
         "warm_reps": len(warms),
         "warm_spread_s": round(max(warms) - min(warms), 3),
+        "warm_spread_trim_s": round(_trimmed_spread(warms), 3),
         "pairs_per_s": round(len(pairs) / warm, 2),
         "bases_per_s": round(bases / warm, 1),
         "ok": n_ok,
         "venues": venues,
     }
-    if with_cpu:
-        # warm engine reps can enqueue NEW background kernel warmups
-        # (cold shapes discovered mid-run); let them drain so the C
-        # reference reps don't time against contended cores — a single
-        # contended rep inflates cpu_spread_s past any real margin and
-        # un-decides the row
-        warmup.wait_idle()
-        try:
-            cpus = [_cpu_time(pairs)]
-            if cpus[0] is not None:
-                cpus += [_cpu_time(pairs) for _ in range(max(REPS - 1, 0))]
-        except Exception as e:          # oracle trouble must not kill rows
-            cpus = [None]
-            row["cpu_error"] = str(e)[:120]
-        if cpus[0] is not None:
-            cpu_dt = _median(cpus)
-            row["cpu_s"] = round(cpu_dt, 3)
-            row["cpu_spread_s"] = round(max(cpus) - min(cpus), 3)
-            row["speedup_vs_cpu"] = round(cpu_dt / warm, 2)
-            # decisive only when the margin exceeds both spreads
-            margin = abs(cpu_dt - warm)
-            row["decisive"] = bool(
-                margin > row["warm_spread_s"]
-                and margin > row["cpu_spread_s"])
+    if cpu_error:
+        row["cpu_error"] = cpu_error
+    if cpus:
+        cpu_dt = _median(cpus)
+        row["cpu_s"] = round(cpu_dt, 3)
+        row["cpu_spread_s"] = round(max(cpus) - min(cpus), 3)
+        row["cpu_spread_trim_s"] = round(_trimmed_spread(cpus), 3)
+        row["speedup_vs_cpu"] = round(cpu_dt / warm, 2)
+        # paired sign stats: rep i of both sides ran back-to-back
+        npair = min(len(warms), len(cpus))
+        row["paired_wins"] = sum(
+            1 for i in range(npair) if cpus[i] > warms[i])
+        row["paired_reps"] = npair
+        # decisive when the median margin exceeds both trimmed spreads
+        margin = abs(cpu_dt - warm)
+        row["decisive"] = bool(
+            margin > row["warm_spread_trim_s"]
+            and margin > row["cpu_spread_trim_s"])
+    pinned = _pinned_cpu_s(name)
+    if pinned:
+        row["cpu_s_pinned"] = pinned
+        row["speedup_vs_cpu_pinned"] = round(pinned / warm, 2)
     return row
 
 
-def w1_single(scale=1.0):
+def pairs_w1(scale=1.0):
     from quicked_tpu import generate
 
-    pairs = list(generate.generate_pairs(1, 300, error=0.05, seed=1))
-    return _timed("1-single-pair", pairs)
+    return list(generate.generate_pairs(1, 300, error=0.05, seed=1))
 
 
-def w2_ont(scale=1.0):
+def pairs_w2(scale=1.0):
     from quicked_tpu import seqio
 
     if not os.path.exists(ONT):
-        return {"workload": "2-ont-minion", "skipped": "no data"}
-    pairs = list(seqio.read_seq_pairs(ONT))
-    return _timed("2-ont-minion", pairs)
+        return None
+    return list(seqio.read_seq_pairs(ONT))
 
 
-def w3_short(scale=1.0):
+def pairs_w3(scale=1.0):
     from quicked_tpu import generate
 
     n = int(100_000 * scale)
-    pairs = list(generate.generate_pairs(n, 100, error=0.02, seed=3))
-    return _timed("3-short-100bp", pairs,
-                  warm_pairs=pairs[:min(n, 1024)])
+    return list(generate.generate_pairs(n, 100, error=0.02, seed=3))
 
 
-def w4_long(scale=1.0):
+def pairs_w4(scale=1.0):
     from quicked_tpu import generate
 
     n = max(int(16 * scale), 2)
-    pairs = list(generate.generate_pairs(n, 30_000, error=0.10, seed=4))
-    return _timed("4-long-30kbp", pairs)
+    return list(generate.generate_pairs(n, 30_000, error=0.10, seed=4))
 
 
-def w5_mixed(scale=1.0):
+def pairs_w5(scale=1.0):
     from quicked_tpu import generate
 
     rngs = [(int(2000 * scale), 150, 0.03), (int(500 * scale), 1000, 0.08),
@@ -180,7 +214,39 @@ def w5_mixed(scale=1.0):
     for i, (n, L, e) in enumerate(rngs):
         pairs += list(generate.generate_pairs(max(n, 1), L, error=e,
                                               seed=50 + i))
-    return _timed("5-mixed-stream", pairs)
+    return pairs
+
+
+WORKLOAD_NAMES = {1: "1-single-pair", 2: "2-ont-minion",
+                  3: "3-short-100bp", 4: "4-long-30kbp",
+                  5: "5-mixed-stream"}
+WORKLOAD_PAIRS = {1: pairs_w1, 2: pairs_w2, 3: pairs_w3, 4: pairs_w4,
+                  5: pairs_w5}
+
+
+def w1_single(scale=1.0):
+    return _timed(WORKLOAD_NAMES[1], pairs_w1(scale))
+
+
+def w2_ont(scale=1.0):
+    pairs = pairs_w2(scale)
+    if pairs is None:
+        return {"workload": WORKLOAD_NAMES[2], "skipped": "no data"}
+    return _timed(WORKLOAD_NAMES[2], pairs)
+
+
+def w3_short(scale=1.0):
+    pairs = pairs_w3(scale)
+    return _timed(WORKLOAD_NAMES[3], pairs,
+                  warm_pairs=pairs[:min(len(pairs), 1024)])
+
+
+def w4_long(scale=1.0):
+    return _timed(WORKLOAD_NAMES[4], pairs_w4(scale))
+
+
+def w5_mixed(scale=1.0):
+    return _timed(WORKLOAD_NAMES[5], pairs_w5(scale))
 
 
 WORKLOADS = {1: w1_single, 2: w2_ont, 3: w3_short, 4: w4_long,

@@ -446,6 +446,104 @@ static inline void qh_banded_cols4_c(
     }
 }
 
+/* 8 x 64-bit lanes: one zmm on AVX-512, two interleaved ymm chains on
+ * AVX2 — either way the per-step dependency chain (the carry add in
+ * xh) is amortized over twice the cells of the 4-lane pipeline. The
+ * reference reaches the same ILP with a hand-written 8-deep AVX2
+ * column pipeline (bpm_banded.c:423-616); measured here the 4-lane
+ * kernel ran ~1.7x behind it per thread on the ONT band geometry. */
+typedef uint64_t qh_v8u64 __attribute__((vector_size(64)));
+typedef int64_t qh_v8i64 __attribute__((vector_size(64)));
+
+/* Anti-diagonal 8-column pipeline — same dataflow as qh_banded_cols4_c
+ * (lane j advances column t0+j at block first + t - j), bit-exact with
+ * the scalar loop; only independent (column, block) cells reorder.
+ * Processes columns [t0, t0+8) over blocks [first, last]. */
+static inline void qh_banded_cols8_c(
+    const uint64_t *peq, int64_t nw, uint64_t lm_last, int64_t mod,
+    const uint8_t *text_enc, int64_t t0,
+    uint64_t *Pv, uint64_t *Mv, int64_t *sc,
+    int64_t first, int64_t last, int64_t pos_v, int64_t prolog,
+    const uint8_t *cin_p, const uint8_t *cin_m,
+    uint8_t *cout_p, uint8_t *cout_m) {
+    __atomic_fetch_add(&qh_simd_passes, 1, __ATOMIC_RELAXED);
+    int cols[8];
+    for (int j = 0; j < 8; j++) cols[j] = text_enc[t0 + j];
+    const int c0 = cols[0];
+    const int64_t span = last - first + 1;
+    qh_v8u64 pv = {0}, mv = {0}, phin = {0}, mhin = {0};
+    qh_v8u64 eqv = {0}, lmv = {0};
+    qh_v8i64 delta = {0};
+    const qh_v8u64 shf = {0, 0, 1, 2, 3, 4, 5, 6};
+    for (int64_t t = 0; t < span + 7; t++) {
+        pv = __builtin_shuffle(pv, shf);
+        mv = __builtin_shuffle(mv, shf);
+        eqv = __builtin_shuffle(eqv, shf);
+        lmv = __builtin_shuffle(lmv, shf);
+        delta = __builtin_shuffle(delta, (qh_v8i64)shf);
+        delta[0] = 0;
+        if (t < span) {
+            const int64_t i0 = first + t;
+            const int64_t row0 = i0 + pos_v;
+            pv[0] = Pv[i0];
+            mv[0] = Mv[i0];
+            eqv[0] = (row0 < nw) ? peq[row0 * 5 + c0] : ~0ULL;
+            lmv[0] = (row0 == nw - 1 && mod) ? lm_last : (1ULL << 63);
+        }
+        if (t < 8) { phin[t] = cin_p[t]; mhin[t] = cin_m[t]; }
+        for (int j = 1; j < 8; j++) {
+            if (cols[j] != cols[j - 1]) {
+                const int64_t i = first + t - j;
+                if (i >= first && i <= last) {
+                    const int64_t row = i + pos_v;
+                    eqv[j] = (row < nw) ? peq[row * 5 + cols[j]] : ~0ULL;
+                }
+            }
+        }
+        const qh_v8u64 xv = eqv | mv;
+        const qh_v8u64 eq2 = eqv | mhin;
+        const qh_v8u64 xh = (((eq2 & pv) + pv) ^ pv) | eq2;
+        qh_v8u64 ph = mv | ~(xh | pv);
+        qh_v8u64 mh = pv & xh;
+        const qh_v8u64 phout = ((qh_v8u64)((ph & lmv) != 0)) & 1;
+        const qh_v8u64 mhout = ((qh_v8u64)((mh & lmv) != 0)) & 1;
+        ph = (ph << 1) | phin;
+        mh = (mh << 1) | mhin;
+        pv = mh | ~(xv | ph);
+        mv = ph & xv;
+        phin = phout;
+        mhin = mhout;
+        delta += (qh_v8i64)phout - (qh_v8i64)mhout;
+        {
+            const int64_t jo = t - (span - 1);
+            if (jo >= 0 && jo < 8) {
+                cout_p[jo] = (uint8_t)phout[jo];
+                cout_m[jo] = (uint8_t)mhout[jo];
+            }
+        }
+        if (t >= 7 && t - 7 < span) {
+            const int64_t i7 = first + t - 7;
+            Pv[i7] = pv[7];
+            Mv[i7] = mv[7];
+            sc[i7 + pos_v + prolog] += delta[7];
+        }
+    }
+}
+
+static const uint8_t QH_ONE8[8] = {1, 1, 1, 1, 1, 1, 1, 1};
+static const uint8_t QH_ZERO8[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+
+static inline void qh_banded_cols8(
+    const uint64_t *peq, int64_t nw, uint64_t lm_last, int64_t mod,
+    const uint8_t *text_enc, int64_t t0,
+    uint64_t *Pv, uint64_t *Mv, int64_t *sc,
+    int64_t first, int64_t last, int64_t pos_v, int64_t prolog) {
+    uint8_t sink_p[8], sink_m[8];
+    qh_banded_cols8_c(peq, nw, lm_last, mod, text_enc, t0, Pv, Mv, sc,
+                      first, last, pos_v, prolog,
+                      QH_ONE8, QH_ZERO8, sink_p, sink_m);
+}
+
 static const uint8_t QH_ONE4[4] = {1, 1, 1, 1};
 static const uint8_t QH_ZERO4[4] = {0, 0, 0, 0};
 
@@ -488,6 +586,27 @@ static inline void qh_cpu_relax(void) {
 static inline void qh_spin_step(int64_t *spins) {
     if (++*spins < 1024) qh_cpu_relax();
     else { sched_yield(); *spins = 0; }
+}
+
+/* Block-scale wait: spin, then yield, then SLEEP (50 us escalating to
+ * 500 us). Used for the per-block sequence wait, where a strip
+ * deactivated by the load-adaptive partition may sit out thousands of
+ * blocks — a yield loop there stays runnable and burns the very cores
+ * the shrink freed; a parked sleeper costs nothing and rejoins within
+ * half a millisecond when the partition grows back. */
+static inline void qh_spin_step_park(int64_t *spins) {
+    int64_t s = ++*spins;
+    if (s < 1024) { qh_cpu_relax(); return; }
+    if (s < 1024 + 16) { sched_yield(); return; }
+    /* exponential backoff 50 us -> 5 ms: every wake of a parked strip
+     * tends to preempt an active strip (CFS wakeup preemption), and at
+     * 500 us cadence that measured ~25% overhead on the loaded ONT
+     * score; at 5 ms it is noise, while re-activation latency stays
+     * far below the call's duration */
+    int64_t extra = s - (1024 + 16);
+    long ns = 50000L << (extra < 7 ? extra : 7);
+    struct timespec ts = {0, ns > 5000000L ? 5000000L : ns};
+    nanosleep(&ts, NULL);
 }
 
 /* Instantaneous free-core estimate for the intra-pair wavefront:
@@ -541,6 +660,10 @@ typedef struct {
     int64_t *sc;
     int64_t prolog, cutoff, finish_v, nbr, text_block;
     int T;
+    int Tcap;          /* live strip cap, re-sampled by the maintainer */
+    int free_prev;     /* previous sample's free-core estimate */
+    int64_t mtick;     /* maintenance counter for the re-sample period */
+    int adapt;         /* 0 when QUICKED_TPU_NO_ADAPT=1 */
     /* per-block state; thread 0 updates at maintenance */
     int64_t first, last, pos_v, pos_h;
     int active;
@@ -573,6 +696,7 @@ static void qh_bmt_partition(qh_bmt_t *c) {
     int64_t span = c->last - c->first + 1;
     int a = (int)(span / 16);        /* >= 16 blocks per strip */
     if (a > c->T) a = c->T;
+    if (c->Tcap > 0 && a > c->Tcap) a = c->Tcap;
     if (a < 1) a = 1;
     /* relaxed atomics: readers race these inside the seqlock window
      * (values discarded on version mismatch) — atomic accesses keep
@@ -607,6 +731,37 @@ static void qh_bmt_maintain(qh_bmt_t *c) {
         && (sc[last + pos_v - 1 + c->prolog]
             + (QH_W * (last - 1) - c->finish_v)) > c->cutoff;
     if (cut_higher || (pos_v + last >= c->nbr)) last -= 1;
+    /* mid-call load adaptation: every 32 blocks (~2 ms of columns)
+     * re-sample other-runnable threads and cap the next partitions'
+     * strip count — a co-located process arriving MID-score otherwise
+     * stalls every strip through the carry chain for the rest of the
+     * call (the call-entry sample can't see it). Our own active strips
+     * are runnable (spin-waiters included), so subtract them from the
+     * /proc/stat count. Shrinks AND grows back. */
+    if (c->adapt && (++c->mtick & 31) == 0) {
+        long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+        if (ncpu > 0) {
+            long running = qh_other_runnable_once() + 1;  /* incl. self */
+            int cur = __atomic_load_n(&c->active, __ATOMIC_RELAXED);
+            long other = running - cur;
+            if (other < 0) other = 0;
+            long freec = ncpu - other;
+            if (freec < 1) freec = 1;
+            int est = freec > c->T ? c->T : (int)freec;
+            if (est <= c->Tcap) {
+                c->Tcap = est;          /* shrink immediately */
+            } else {
+                /* grow only when two consecutive samples agree — one
+                 * optimistic sample (a busy thread briefly off-CPU)
+                 * otherwise grows strips onto still-busy cores and
+                 * thrashes until the next sample (measured: 0.75 ->
+                 * 0.95 s on the loaded ONT score) */
+                int g = est < c->free_prev ? est : c->free_prev;
+                if (g > c->Tcap) c->Tcap = g;
+            }
+            c->free_prev = est;
+        }
+    }
     /* seqlock write of the next block's partition + walk state: odd
      * pver = mid-write; the final even value 2*(k+1) tags the
      * partition with the block it belongs to. SEQ_CST stores double
@@ -622,15 +777,27 @@ static void qh_bmt_maintain(qh_bmt_t *c) {
 }
 
 static void qh_bmt_work(qh_bmt_t *c, int s) {
-    uint8_t sink_p[4], sink_m[4];
+    uint8_t sink_p[8], sink_m[8];
+    int was_inactive = 0;
+    int64_t park = 0;   /* backoff level, persists while inactive */
     for (int64_t k = 0; k < c->text_block; k++) {
         /* wait for block k-1's maintenance (the maintainer itself
          * stored bseq = k and passes through). The acquire also makes
-         * the new partition/bounds visible before they are read. */
+         * the new partition/bounds visible before they are read. A
+         * strip that sat out the previous block parks immediately —
+         * it will likely sit out this one too, and waking every block
+         * to spin would burn ~10% of a core per deactivated strip. */
         if (k > 0) {
-            int64_t spins = 0;
-            while (__atomic_load_n(&c->bseq, __ATOMIC_ACQUIRE) < k)
-                qh_spin_step(&spins);
+            int64_t spins = was_inactive ? 1024 + 16 + park : 0;
+            if (was_inactive) {
+                while (__atomic_load_n(&c->bseq, __ATOMIC_ACQUIRE) < k)
+                    qh_spin_step_park(&spins);
+            } else {
+                /* active strips wait tens of us for the trailing strip
+                 * + maintenance — parking here oversleeps every block */
+                while (__atomic_load_n(&c->bseq, __ATOMIC_ACQUIRE) < k)
+                    qh_spin_step(&spins);
+            }
         }
         /* seqlock partition read, tagged with its block generation.
          * bseq >= k guarantees generation >= k is published; a
@@ -660,16 +827,20 @@ static void qh_bmt_work(qh_bmt_t *c, int s) {
             }
             qh_spin_step(&pspins);
         }
+        was_inactive = (s >= active);
+        park = was_inactive ? (park < 7 ? park + 1 : 7) : 0;
         if (active == -2)
             continue;
         const int64_t t0g = k * QH_W;
         if (s < active) {
-            for (int64_t t = 0; t < QH_W; t += 4) {
-                const uint8_t *cin_p = QH_ONE4, *cin_m = QH_ZERO4;
+            /* 8-column passes: half the carry handoffs of the old
+             * 4-column strips AND the deeper pipeline's ILP */
+            for (int64_t t = 0; t < QH_W; t += 8) {
+                const uint8_t *cin_p = QH_ONE8, *cin_m = QH_ZERO8;
                 if (s > 0) {
                     int64_t spins = 0;
                     while (__atomic_load_n(&c->done[s - 1].v,
-                                           __ATOMIC_ACQUIRE) < t0g + t + 4)
+                                           __ATOMIC_ACQUIRE) < t0g + t + 8)
                         qh_spin_step(&spins);
                     cin_p = &c->bp[s][t];
                     cin_m = &c->bm[s][t];
@@ -679,12 +850,12 @@ static void qh_bmt_work(qh_bmt_t *c, int s) {
                     co_p = &c->bp[s + 1][t];
                     co_m = &c->bm[s + 1][t];
                 }
-                qh_banded_cols4_c(c->peq, c->nw, c->lm_last, c->mod,
+                qh_banded_cols8_c(c->peq, c->nw, c->lm_last, c->mod,
                                   c->text, t0g + t, c->Pv, c->Mv, c->sc,
                                   lo, hi, c->pos_v, c->prolog,
                                   cin_p, cin_m, co_p, co_m);
                 if (s + 1 < active)
-                    __atomic_store_n(&c->done[s].v, t0g + t + 4,
+                    __atomic_store_n(&c->done[s].v, t0g + t + 8,
                                      __ATOMIC_RELEASE);
             }
         }
@@ -774,7 +945,13 @@ static int64_t qh_banded_score_n(
     /* never oversubscribe: the wavefront needs every strip runnable */
     long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
     if (ncpu > 0 && Tmt > ncpu) Tmt = (int)ncpu;
-    if (Tmt > 1) Tmt = qh_adaptive_cap(Tmt);
+    /* spawn the full strip set; the entry load sample only seeds the
+     * live cap (Tcap), so a call that starts on a busy host can still
+     * grow back to Tmt strips when the load clears mid-call (parked
+     * strips sleep, they don't burn the freed cores) */
+    const char *noadapt = getenv("QUICKED_TPU_NO_ADAPT");
+    int adapt_on = !(noadapt && noadapt[0] == '1');
+    int tcap0 = (Tmt > 1 && adapt_on) ? qh_adaptive_cap(Tmt) : Tmt;
     if (Tmt > 1 && !fsc && text_block >= 8 && last - first + 1 >= 48) {
         /* threaded wavefront over full 64-column blocks */
         qh_bmt_t *bc = (qh_bmt_t *)calloc(1, sizeof(qh_bmt_t));
@@ -788,6 +965,8 @@ static int64_t qh_banded_score_n(
             bc->first = first; bc->last = last;
             bc->pos_v = pos_v; bc->pos_h = pos_h;
             bc->T = Tmt;
+            bc->Tcap = tcap0;
+            bc->adapt = adapt_on;
             pthread_t tids[QH_BMT_MAX];
             qh_bmt_arg_t wargs[QH_BMT_MAX];
             int spawned = 0;
@@ -841,8 +1020,13 @@ static int64_t qh_banded_score_n(
     for (int64_t k = 0; k <= text_block; k++) {
         int64_t t_end = (k < text_block) ? (k + 1) * QH_W : text_finish;
         int64_t t = k * QH_W;
-        if (t_end - t == QH_W && last - first >= 5 && !fsc) {
-            /* SIMD anti-diagonal pipeline, 4 columns per pass */
+        if (t_end - t == QH_W && last - first >= 8 && !fsc) {
+            /* SIMD anti-diagonal pipeline, 8 columns per pass */
+            for (; t < t_end; t += 8)
+                qh_banded_cols8(peq, nw, lm_last_w, mod, text_enc, t,
+                                Pv, Mv, sc, first, last, pos_v, prolog);
+        } else if (t_end - t == QH_W && last - first >= 5 && !fsc) {
+            /* narrow band: 4-column pipeline (less fill overhead) */
             for (; t < t_end; t += 4)
                 qh_banded_cols4(peq, nw, lm_last_w, mod, text_enc, t,
                                 Pv, Mv, sc, first, last, pos_v, prolog);
