@@ -70,12 +70,10 @@ def _parity_check(batch, scores_by_k):
 
 
 def _tpu_rate(pairs):
-    import jax
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from quicked_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(os.path.join(REPO, ".jax_cache"))
 
     from quicked_tpu.ops.banded_pallas import (collect_outputs,
                                                pallas_available,

@@ -131,11 +131,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from quicked_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(os.path.join(REPO, ".jax_cache"))
 
     cases = build_cases()
     results = {}

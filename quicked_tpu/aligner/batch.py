@@ -366,9 +366,7 @@ def _calibrate_device_rate(family: str):
         t0 = time.perf_counter()
         np.asarray(run(batch)["first"])         # materialize: honest time
         best = min(best, time.perf_counter() - t0)
-    # text stages packed 4 chars/word in the pallas/sysband families
-    # (cscan still unpacked — estimate stays conservative for it)
-    bytes_up = batch.upload_bytes()
+    bytes_up = batch.upload_bytes(packed_text=(family != "cscan"))
     overhead = _device_dispatch_s() + bytes_up / (_device_readback_mbps()
                                                   * 1e6)
     kern = best - overhead
@@ -435,14 +433,13 @@ def _deep_band_advances(batch) -> float:
     return float(np.sum(batch.tfinish[:n].astype(np.int64) * ebb))
 
 
-def _score_device_est_s(batch, adv: float, kernel_adv_per_s: float) -> float:
+def _score_device_est_s(batch, adv: float, kernel_adv_per_s: float,
+                        packed_text: bool = True) -> float:
     """Estimated wall time of a device score pass: dispatch latency +
     input staging over the measured link + kernel time. The staging
     term is what high-latency links are actually bound by (the PEQ/
     level-mask/text planes upload on every engine call)."""
-    # text stages packed 4 chars/word in the pallas/sysband families
-    # (cscan still unpacked — estimate stays conservative for it)
-    bytes_up = batch.upload_bytes()
+    bytes_up = batch.upload_bytes(packed_text=packed_text)
     link = _device_readback_mbps() * 1e6
     return (_device_dispatch_s() + bytes_up / link
             + adv / kernel_adv_per_s)
@@ -455,7 +452,8 @@ def _prefer_host_deep(batch, sysband: bool) -> bool:
     adv = _deep_band_advances(batch)
     est_host = adv / _kernel_rate("host")
     est_dev = _score_device_est_s(
-        batch, adv, _kernel_rate("sysband" if sysband else "cscan"))
+        batch, adv, _kernel_rate("sysband" if sysband else "cscan"),
+        packed_text=sysband)
     return est_host < est_dev
 
 
@@ -983,6 +981,16 @@ def hirschberg_level_splits_device(pats, txts, cos, mids, mids_r):
     results: list = [None] * n
     from quicked_tpu.utils import warmup
 
+    # Two passes: stage + eligibility-check EVERY bucket first, run
+    # kernels only when all buckets take the fused path. A mid-loop
+    # decline (deep bucket, host venue, cold shape) after earlier
+    # buckets already ran their kernels would discard those results,
+    # re-run the level on the fallback path, and double-count the
+    # hsplit venue (advisor, round 4). Checking first also enqueues
+    # background warmups for ALL cold bucket shapes, not just the
+    # first one hit.
+    staged = []
+    declined = False
     for (nb_p2, ebb_p2), idxs in by_key.items():
         if ebb_p2 > PALLAS_MAX_EBB:
             return None     # deep bands route to cscan/sysband: not fused
@@ -1001,11 +1009,7 @@ def hirschberg_level_splits_device(pats, txts, cos, mids, mids_r):
         batch = prepare_banded_batch(
             pats_il, txts_il, cos_il, full=False, text_finish=fins_il,
             pad_to_b=b_pad, min_nb=nb_p2, min_ebb=ebb_p2)
-        if on_mesh:
-            from quicked_tpu.parallel.mesh import run_level_splits_sharded
-            _venue("hsplit_mesh")
-            pll, sl, sr, ok = run_level_splits_sharded(batch, ACTIVE_MESH)
-        else:
+        if not on_mesh:
             from quicked_tpu.ops.banded_native import (
                 native_available as _host_ok,
             )
@@ -1014,10 +1018,21 @@ def hirschberg_level_splits_device(pats, txts, cos, mids, mids_r):
                 return None        # host venue wins this level's passes
             key = ("hsplit_fused", batch.B, batch.EBB, batch.NB)
             if warmup.defer_cold(key, lambda b=batch: _hsplit_fused_pallas(b)):
-                return None        # cold shape: numpy path this time
+                declined = True    # cold shape: numpy path this time
+                continue
+        staged.append((idxs, batch))
+    if declined:
+        return None
+    for idxs, batch in staged:
+        if on_mesh:
+            from quicked_tpu.parallel.mesh import run_level_splits_sharded
+            _venue("hsplit_mesh")
+            pll, sl, sr, ok = run_level_splits_sharded(batch, ACTIVE_MESH)
+        else:
             _venue("hsplit_device")
             pll, sl, sr, ok = _hsplit_fused_pallas(batch)
-            warmup.mark_warm(key)
+            warmup.mark_warm(("hsplit_fused", batch.B, batch.EBB,
+                              batch.NB))
         for j, i in enumerate(idxs):
             results[i] = ((int(pll[j]), int(sl[j]), int(sr[j]))
                           if ok[j] else None)

@@ -125,12 +125,16 @@ class BandedBatch:
                     object.__setattr__(self, "plane_builder", None)
         return object.__getattribute__(self, name)
 
-    def upload_bytes(self) -> int:
+    def upload_bytes(self, packed_text: bool = True) -> int:
         """Analytic staged-upload size of a score pass (PEQ lo+hi,
-        level masks lo+hi, 4-chars-per-word packed text) — reading the
-        arrays' .nbytes would trigger the lazy build the host venue
-        exists to avoid."""
-        return self.K * self.B * 4 * (5 * 2 + 2) + self.NB * W * self.B
+        level masks lo+hi, text) — reading the arrays' .nbytes would
+        trigger the lazy build the host venue exists to avoid.
+        packed_text: the pallas/sysband families stage text packed 4
+        chars per i32 word (1 byte/char); cscan stages `batch.text`
+        unpacked (4 bytes/char) — estimating those as packed biased
+        routing toward the device 4x on slow links."""
+        text_b = self.NB * W * self.B * (1 if packed_text else 4)
+        return self.K * self.B * 4 * (5 * 2 + 2) + text_b
 
 
 def prepare_banded_batch(patterns, texts, cutoffs, *, full: bool,

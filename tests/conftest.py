@@ -29,8 +29,10 @@ def pytest_sessionstart(session):
     # so tests really run on the 8 virtual CPU devices.
     jax.config.update("jax_platforms", "cpu")
     assert len(jax.devices()) >= 8, jax.devices()
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # machine-scoped subdir: entries from a previous round's machine
+    # class otherwise spray cpu_aot_loader feature-mismatch errors
+    from quicked_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache(_CACHE)
 
 
 def pytest_addoption(parser):
