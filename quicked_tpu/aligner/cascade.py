@@ -324,17 +324,26 @@ def quicked_cascade_batch(pairs, params: QuickedParams | None = None,
         if jax.devices()[0].platform == "cpu":
             fast = list(range(n))
         else:
-            fast = [i for i in range(n)
-                    if max(len(pairs[i][0]), len(pairs[i][1])) <= fast_max]
-            if fast:
-                total_b = sum(max(len(pairs[i][0]), len(pairs[i][1]))
-                              for i in fast)
-                # fast links route large short-read batches through the
-                # staged device cascade (fill + on-device traceback —
-                # 4.85x the C lane in the round-4 PCIe projection)
-                if _prefer_staged_short(total_b):
-                    _ab._venue("cascade_staged_shortreads")
-                    fast = []
+            # length scan via map(len)/numpy: the per-pair Python
+            # max(len, len) loop cost ~0.2 s on a 100k-pair batch —
+            # more than the C cascade itself (profiled on the axon
+            # host; the CPU-platform branch above never paid it)
+            flat = [s for pair in pairs for s in pair]
+            lens = np.fromiter(map(len, flat), np.int64, 2 * n)
+            maxlens = np.maximum(lens[0::2], lens[1::2])
+            if n and int(maxlens.max()) <= fast_max:
+                fast = list(range(n))
+                total_b = int(maxlens.sum())
+            else:
+                sel = maxlens <= fast_max
+                fast = np.nonzero(sel)[0].tolist()
+                total_b = int(maxlens[sel].sum())
+            # fast links route large short-read batches through the
+            # staged device cascade (fill + on-device traceback —
+            # 4.85x the C lane in the round-4 PCIe projection)
+            if fast and _prefer_staged_short(total_b):
+                _ab._venue("cascade_staged_shortreads")
+                fast = []
     else:
         fast = []
     # One total-timer lap per batch call regardless of lane routing (a

@@ -210,13 +210,14 @@ def test_crlf_input_shard_accounting(tmp_path):
         assert f1.read() == f3.read()
 
 
-def test_two_process_jax_distributed(tmp_path):
-    """A REAL 2-process jax.distributed run on CPU: each process
+def _run_jax_distributed(tmp_path, n_procs: int, n_pairs: int,
+                         seed: int) -> str:
+    """Launch a REAL n-process jax.distributed run on CPU: each process
     discovers (index, count) from the coordination service through
     maybe_initialize_distributed (JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID), not explicit arguments — the
     multi-host launch path BASELINE workload 5 prescribes, minus the
-    second physical host."""
+    extra physical hosts. Returns the merged output text."""
     import socket
     import subprocess
     import sys
@@ -226,10 +227,11 @@ def test_two_process_jax_distributed(tmp_path):
     port = s.getsockname()[1]
     s.close()
 
-    pairs = list(generate.generate_pairs(8, 100, error=0.1, seed=91))
-    seq = str(tmp_path / "in.seq")
+    pairs = list(generate.generate_pairs(n_pairs, 100, error=0.1,
+                                         seed=seed))
+    seq = str(tmp_path / f"in{n_procs}.seq")
     seqio.write_seq_pairs(seq, pairs)
-    out = str(tmp_path / "out.tsv")
+    out = str(tmp_path / f"out{n_procs}.tsv")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = (
         "import sys, jax; jax.config.update('jax_platforms', 'cpu');"
@@ -238,26 +240,48 @@ def test_two_process_jax_distributed(tmp_path):
         "distributed_align, maybe_initialize_distributed);"
         "from quicked_tpu.params import QuickedParams, QuickedAlgo;"
         "pi, pc = maybe_initialize_distributed();"
-        "assert pc == 2, (pi, pc);"
+        "assert pc == {n!r}, (pi, pc);"
         "distributed_align({seq!r}, {out!r}, "
         "QuickedParams(algo=QuickedAlgo.BANDED, bandwidth=30))"
-    ).format(repo=repo, seq=seq, out=out)
+    ).format(repo=repo, seq=seq, out=out, n=n_procs)
+    from quicked_tpu.utils.cache import machine_tag
     env_base = dict(os.environ,
-                    JAX_COMPILATION_CACHE_DIR=os.path.join(repo,
-                                                           ".jax_cache"),
+                    JAX_COMPILATION_CACHE_DIR=os.path.join(
+                        repo, ".jax_cache", machine_tag()),
                     JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1",
                     JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-                    JAX_NUM_PROCESSES="2")
+                    JAX_NUM_PROCESSES=str(n_procs))
     procs = [subprocess.Popen([sys.executable, "-c", script],
                               env=dict(env_base, JAX_PROCESS_ID=str(pi)),
                               cwd=repo, stdout=subprocess.DEVNULL,
                               stderr=subprocess.PIPE)
-             for pi in range(2)]
+             for pi in range(n_procs)]
     errs = [p.communicate(timeout=300)[1] for p in procs]
     for p, e in zip(procs, errs):
         assert p.returncode == 0, e.decode()[-2000:]
     with open(out) as f:
-        lines = f.read().strip().split("\n")
-    assert len(lines) == 8
+        text = f.read()
+    lines = text.strip().split("\n")
+    assert len(lines) == n_pairs
     for line in lines:
         assert "ERROR" not in line
+    return text
+
+
+def test_two_process_jax_distributed(tmp_path):
+    _run_jax_distributed(tmp_path, 2, 8, seed=91)
+
+
+def test_three_process_jax_distributed_uneven(tmp_path):
+    """3 real jax.distributed processes over 10 pairs (uneven shards)
+    must produce the byte-identical ordered merge of a 1-process run."""
+    out3 = _run_jax_distributed(tmp_path, 3, 10, seed=92)
+    pairs = list(generate.generate_pairs(10, 100, error=0.1, seed=92))
+    seq = str(tmp_path / "in_ref.seq")
+    seqio.write_seq_pairs(seq, pairs)
+    out1 = str(tmp_path / "out_ref.tsv")
+    distributed_align(seq, out1, QuickedParams(algo=QuickedAlgo.BANDED,
+                                               bandwidth=30),
+                      process_index=0, process_count=1)
+    with open(out1) as f:
+        assert f.read() == out3
