@@ -165,11 +165,21 @@ def _timed(name, pairs, warm_pairs=None, with_cpu=True):
         row["paired_wins"] = sum(
             1 for i in range(npair) if cpus[i] > warms[i])
         row["paired_reps"] = npair
-        # decisive when the median margin exceeds both trimmed spreads
+        # decisive when the median margin exceeds both trimmed spreads,
+        # OR on a clean paired sweep with a real median margin (a 7/7
+        # same-load sign test is p < 0.01; this VM's C binary hiccups
+        # +60-80 ms on ~15% of execs, which can blow cpu_spread past
+        # any margin on a 0.1 s workload while every paired rep still
+        # agrees on the winner). Symmetric: an 0/7 sweep marks a
+        # decisive LOSS the same way.
         margin = abs(cpu_dt - warm)
+        ratio = cpu_dt / warm if warm > 0 else float("inf")
+        sweep = npair >= 7 and (
+            (row["paired_wins"] == npair and ratio >= 1.1)
+            or (row["paired_wins"] == 0 and ratio <= 1 / 1.1))
         row["decisive"] = bool(
-            margin > row["warm_spread_trim_s"]
-            and margin > row["cpu_spread_trim_s"])
+            (margin > row["warm_spread_trim_s"]
+             and margin > row["cpu_spread_trim_s"]) or sweep)
     pinned = _pinned_cpu_s(name)
     if pinned:
         row["cpu_s_pinned"] = pinned
