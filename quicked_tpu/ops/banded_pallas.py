@@ -170,8 +170,72 @@ def _kernel(peq_lo_hbm, peq_hi_hbm, lm_lo_hbm, lm_hi_hbm,   # ANY (HBM)
                           (jnp.ones((LANES,), U32),
                            jnp.zeros((LANES,), U32)))
 
+    def advance_cols4(q):
+        """Advance text columns [4q, 4q+4) over the live band in ONE
+        band sweep (score variant only). Within a 64-column block
+        first/last are fixed (maintenance runs between blocks), so the
+        four columns share the same live-row window; batching them
+        amortizes the dominant VMEM traffic — the (ALPH, LANES) PEQ
+        row reads and the Pv/Mv state write-backs — 4x, leaving one
+        row-read + one state read/write per 4 columns. Bit-exact: the
+        per-column dataflow is just run back-to-back in-register, with
+        each column's tfinish mask applied before the next column
+        consumes the state."""
+        w_lo = text_ref[0, q, :]
+        chars = [(w_lo >> (8 * jj)) & 0xFF for jj in range(4)]
+        col_acts = [nb * W + 4 * q + jj < tfinish for jj in range(4)]
+        selss = [[c == a for a in range(1, 5)] for c in chars]
+
+        def blk_body(i, carry):
+            phins, mhins = carry
+            row_lo = peq_win_lo[off + i]      # (ALPH, LANES)
+            row_hi = peq_win_hi[off + i]
+            lmw_lo = lm_win_lo[off + i]
+            lmw_hi = lm_win_hi[off + i]
+            is_first = i == first
+            act_band = (i >= first) & (i <= last)
+            cpv_lo, cpv_hi = pv_lo[i], pv_hi[i]
+            cmv_lo, cmv_hi = mv_lo[i], mv_hi[i]
+            csc = scw[i]
+            phouts, mhouts = [], []
+            for jj in range(4):
+                eq_lo = row_lo[0]
+                eq_hi = row_hi[0]
+                for a in range(1, 5):
+                    sel = selss[jj][a - 1]
+                    eq_lo = jnp.where(sel, row_lo[a], eq_lo)
+                    eq_hi = jnp.where(sel, row_hi[a], eq_hi)
+                phin_eff = jnp.where(is_first, jnp.ones((LANES,), U32),
+                                     phins[jj])
+                mhin_eff = jnp.where(is_first, jnp.zeros((LANES,), U32),
+                                     mhins[jj])
+                npv_lo, npv_hi, nmv_lo, nmv_hi, phout, mhout = \
+                    u64.advance_block64(eq_lo, eq_hi, lmw_lo, lmw_hi,
+                                        cpv_lo, cpv_hi, cmv_lo, cmv_hi,
+                                        phin_eff, mhin_eff)
+                act = col_acts[jj] & act_band
+                cpv_lo = jnp.where(act, npv_lo, cpv_lo)
+                cpv_hi = jnp.where(act, npv_hi, cpv_hi)
+                cmv_lo = jnp.where(act, nmv_lo, cmv_lo)
+                cmv_hi = jnp.where(act, nmv_hi, cmv_hi)
+                csc = jnp.where(
+                    act, csc + phout.astype(I32) - mhout.astype(I32),
+                    csc)
+                phouts.append(phout)
+                mhouts.append(mhout)
+            pv_lo[i], pv_hi[i] = cpv_lo, cpv_hi
+            mv_lo[i], mv_hi[i] = cmv_lo, cmv_hi
+            scw[i] = csc
+            return tuple(phouts), tuple(mhouts)
+
+        ones = jnp.ones((LANES,), U32)
+        zeros = jnp.zeros((LANES,), U32)
+        jax.lax.fori_loop(blk_lo, blk_hi + 1, blk_body,
+                          ((ones,) * 4, (zeros,) * 4))
+
     if not FULL:
-        jax.lax.fori_loop(0, W, lambda j, _: (advance_col(j), 0)[1], 0)
+        jax.lax.fori_loop(0, W // 4,
+                          lambda q, _: (advance_cols4(q), 0)[1], 0)
     else:
         # chunked sweep with snapshot streaming; column 63's snapshot is
         # written after band maintenance (the reference shifts the
