@@ -473,6 +473,29 @@ def _cascade_staged(pairs, params: QuickedParams, timers) -> CascadeResult:
             timers.banded.start()
             cut = {i: int(min(max_len[i] * params.bandwidth // 100, score[i]))
                    for i in harder}
+            # Narrow-band trial (same as qh_quicked_one's): a banded
+            # score <= its cutoff is provably exact, so a 5/8 band
+            # usually resolves the batch at ~5/8 the cost; failures
+            # fall into the untouched reference retry schedule below.
+            # Outputs stay byte-identical (the accepted score equals
+            # the wider band's).
+            import os as _os
+            if _os.environ.get("QUICKED_TPU_NO_BAND_TRIAL") != "1":
+                trial = [i for i in harder
+                         if cut[i] >= 4096 and cut[i] * 5 // 8
+                         > abs(len(pats[i]) - len(txts[i])) + 1]
+                if trial:
+                    tcut = [cut[i] * 5 // 8 for i in trial]
+                    ts, _ = banded_align_batch(
+                        [pats[i] for i in trial], [txts[i] for i in trial],
+                        tcut, only_score=True)
+                    accepted = set()
+                    for j, i in enumerate(trial):
+                        s = int(ts[j])
+                        if 0 <= s <= tcut[j]:
+                            score[i] = s
+                            accepted.add(i)
+                    harder = [i for i in harder if i not in accepted]
             pending = list(harder)
             while pending:
                 ns, _ = banded_align_batch(

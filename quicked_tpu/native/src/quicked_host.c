@@ -1723,6 +1723,35 @@ static void qh_quicked_one(
             /* stage 3: banded score-only + telescoping retry */
             int64_t cut = max_len * bandwidth / 100;
             if (score < cut) cut = score;
+            /* Narrow-band trial (this repo's addition; outputs stay
+             * byte-identical to run_quicked): a banded score <= its
+             * cutoff is provably EXACT — any alignment scoring <= C
+             * stays inside the C-band and survives the edge cuts, so
+             * an in-band path scoring <= C certifies the optimum is in
+             * band for BOTH the trial band and the reference's wider
+             * band, and both return the same exact score. Stage-3 cost
+             * scales with the band, so a successful 5/8 trial saves
+             * ~37% of the dominant cascade stage on noisy long pairs
+             * (the windowed bound typically overestimates 1.5-3x);
+             * a failed trial costs 5/8 extra and falls through to the
+             * untouched reference geometry + telescoping retry.
+             * QUICKED_TPU_NO_BAND_TRIAL=1 opts out. */
+            int64_t k_end = (tlen > plen ? tlen - plen : plen - tlen) + 1;
+            int64_t cut_t = cut * 5 / 8;
+            int trial_hit = 0;
+            if (cut >= 4096 && cut_t > k_end) {
+                const char *noty = getenv("QUICKED_TPU_NO_BAND_TRIAL");
+                if (!(noty && noty[0] == '1')) {
+                    int64_t ts = qh_banded_score_n(
+                        pe, plen, te, tlen, tlen, cut_t,
+                        NULL, NULL, NULL, NULL, NULL, NULL, intra);
+                    if (ts >= 0 && ts <= cut_t) {
+                        score = ts;
+                        trial_hit = 1;
+                    }
+                }
+            }
+            if (!trial_hit) {
             int64_t ns = qh_banded_score_n(pe, plen, te, tlen, tlen, cut,
                                            NULL, NULL, NULL, NULL, NULL,
                                            NULL, intra);
@@ -1742,6 +1771,7 @@ static void qh_quicked_one(
                                        NULL, intra);
             }
             score = ns;
+            }
         }
     }
 
