@@ -102,3 +102,33 @@ def test_native_cascade_deferred_hirschberg(monkeypatch):
     for i in range(len(pairs)):
         assert res.score[i] == staged.score[i]
         assert res.cigar[i] == staged.cigar[i]
+
+
+def test_band_trial_output_parity(monkeypatch):
+    """The stage-3 narrow-band trial (qh_quicked_one / _cascade_staged)
+    must be output-invisible: trial-on and trial-off runs produce
+    identical scores and CIGARs on noisy corpora where stage 3 engages
+    (the accept test score <= cutoff certifies exactness)."""
+    from quicked_tpu.aligner.cascade import (_cascade_staged,
+                                             quicked_cascade_batch)
+    from quicked_tpu.utils.profiler import PhaseTimers
+
+    # the trial engages only when cut = min(maxlen*bw/100, ws_bound)
+    # >= 4096: the 40-60 kbp noisy pairs clear it (maxlen*15% >= 6000),
+    # the short ones pin the skip path
+    pairs = (_pairs(12, 3000, 0.22, 31) + _pairs(2, 40000, 0.18, 32)
+             + _pairs(2, 60000, 0.12, 34) + _pairs(8, 1500, 0.30, 33))
+    assert any(max(len(p), len(t)) * 15 // 100 >= 4096 for p, t in pairs)
+
+    monkeypatch.delenv("QUICKED_TPU_NO_BAND_TRIAL", raising=False)
+    on = quicked_cascade_batch(pairs, QuickedParams())
+    on_staged = _cascade_staged(pairs, QuickedParams(), PhaseTimers())
+    monkeypatch.setenv("QUICKED_TPU_NO_BAND_TRIAL", "1")
+    off = quicked_cascade_batch(pairs, QuickedParams())
+    off_staged = _cascade_staged(pairs, QuickedParams(), PhaseTimers())
+    for i in range(len(pairs)):
+        assert on.score[i] == off.score[i], i
+        assert on.cigar[i] == off.cigar[i], i
+        assert on_staged.score[i] == off_staged.score[i], i
+        assert on_staged.cigar[i] == off_staged.cigar[i], i
+        assert on.score[i] == on_staged.score[i], i
