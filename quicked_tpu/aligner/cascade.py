@@ -475,14 +475,17 @@ def _cascade_staged(pairs, params: QuickedParams, timers) -> CascadeResult:
                    for i in harder}
             # Narrow-band trial (same as qh_quicked_one's): a banded
             # score <= its cutoff is provably exact, so a 5/8 band
-            # usually resolves the batch at ~5/8 the cost; failures
+            # resolves cap-limited pairs at ~5/8 the cost; failures
             # fall into the untouched reference retry schedule below.
             # Outputs stay byte-identical (the accepted score equals
-            # the wider band's).
+            # the wider band's). Cap-limited only (ws bound > bw cap):
+            # on uniform noise the bound is near-tight and a trial
+            # would almost always miss (measured true/cut ~ 1.0).
             import os as _os
             if _os.environ.get("QUICKED_TPU_NO_BAND_TRIAL") != "1":
                 trial = [i for i in harder
-                         if cut[i] >= 4096 and cut[i] * 5 // 8
+                         if score[i] > cut[i] and cut[i] >= 4096
+                         and cut[i] * 5 // 8
                          > abs(len(pats[i]) - len(txts[i])) + 1]
                 if trial:
                     tcut = [cut[i] * 5 // 8 for i in trial]

@@ -1739,7 +1739,13 @@ static void qh_quicked_one(
             int64_t k_end = (tlen > plen ? tlen - plen : plen - tlen) + 1;
             int64_t cut_t = cut * 5 / 8;
             int trial_hit = 0;
-            if (cut >= 4096 && cut_t > k_end) {
+            /* cap-limited only (ws bound > bandwidth cap): on uniform
+             * noise the windowed bound is near-tight (measured
+             * true/cut ~ 1.0 across synthetic corpora — a trial would
+             * almost always miss), but a bound pushed past the cap
+             * signals bursty error where the true score sits well
+             * under the cap (ONT real pair: 0.52x) */
+            if (score > cut && cut >= 4096 && cut_t > k_end) {
                 const char *noty = getenv("QUICKED_TPU_NO_BAND_TRIAL");
                 if (!(noty && noty[0] == '1')) {
                     int64_t ts = qh_banded_score_n(

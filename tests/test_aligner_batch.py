@@ -113,11 +113,20 @@ def test_band_trial_output_parity(monkeypatch):
                                              quicked_cascade_batch)
     from quicked_tpu.utils.profiler import PhaseTimers
 
-    # the trial engages only when cut = min(maxlen*bw/100, ws_bound)
-    # >= 4096: the 40-60 kbp noisy pairs clear it (maxlen*15% >= 6000),
-    # the short ones pin the skip path
-    pairs = (_pairs(12, 3000, 0.22, 31) + _pairs(2, 40000, 0.18, 32)
-             + _pairs(2, 60000, 0.12, 34) + _pairs(8, 1500, 0.30, 33))
+    # the trial engages only for CAP-LIMITED pairs (windowed bound >
+    # bandwidth cap) with cut >= 4096: 50 kbp @ 25% error is
+    # cap-limited with true > cut (trial misses into the telescoping
+    # path), the large-indel pair is cap-limited with a loose bound,
+    # and the short noisy pairs pin the skip path
+    from quicked_tpu import generate
+
+    pairs = (_pairs(12, 3000, 0.22, 31)
+             + list(generate.generate_pairs(2, 50000, error=0.25,
+                                            seed=41))
+             + list(generate.generate_pairs(1, 150000, error=0.03,
+                                            indels_num=1,
+                                            indels_length=15000, seed=5))
+             + _pairs(8, 1500, 0.30, 33))
     assert any(max(len(p), len(t)) * 15 // 100 >= 4096 for p, t in pairs)
 
     monkeypatch.delenv("QUICKED_TPU_NO_BAND_TRIAL", raising=False)
