@@ -219,11 +219,22 @@ def windowed_full_batch(patterns, texts, window_size: int,
 NATIVE_CASCADE_MAX_LEN = None   # None -> derived from bandwidth/budget
 
 
+_FAST_MAX_CACHE: dict = {}
+
+
 def _native_fast_max(bandwidth: int) -> int:
     """Largest pair length whose worst-case stage-4 banded footprint
     (ebb * text_len * 8 * 2, bpm_hirschberg.c:63-65) fits the 16 MB
-    Hirschberg base-case budget — ~20 kbp at the default 15% band."""
+    Hirschberg base-case budget — ~20 kbp at the default 15% band.
+    Memoized on (bandwidth, budget): the bisection ran on every
+    cascade call (~15 us, visible on the single-pair API path); the
+    budget stays in the key so tests that monkeypatch it are honest."""
     from quicked_tpu.params import HIRSCHBERG_BUFFER_SIZE
+
+    key = (bandwidth, HIRSCHBERG_BUFFER_SIZE)
+    got = _FAST_MAX_CACHE.get(key)
+    if got is not None:
+        return got
 
     def fits(L: int) -> bool:
         ebb = (L * bandwidth // 100) // W + 2
@@ -236,6 +247,7 @@ def _native_fast_max(bandwidth: int) -> int:
             lo = mid
         else:
             hi = mid - 1
+    _FAST_MAX_CACHE[key] = lo
     return lo
 
 

@@ -1674,6 +1674,22 @@ void qh_window_backtrace(
  * *status_out = 1 with the proven bound in *score_out so the (batched,
  * device-kernel) Hirschberg driver can finish them.
  */
+typedef struct {
+    const uint8_t *pe, *praw;
+    int64_t plen;
+    const uint8_t *te, *traw;
+    int64_t tlen, ws, ovl, thr;
+    int64_t score, hew;
+} qh_ws_job_t;
+
+static void *qh_ws_job_thread(void *arg) {
+    qh_ws_job_t *j = (qh_ws_job_t *)arg;
+    j->score = qh_windowed_score(j->pe, j->praw, j->plen, j->te,
+                                 j->traw, j->tlen, j->ws, j->ovl,
+                                 j->thr, &j->hew);
+    return NULL;
+}
+
 static void qh_quicked_one(
     const uint8_t *p_raw, int64_t plen, const uint8_t *t_raw, int64_t tlen,
     int64_t bandwidth, int64_t ws, int64_t ovl,
@@ -1711,10 +1727,26 @@ static void qh_quicked_one(
             ter[i] = te[tlen - 1 - i];
         }
         int64_t hew_f = 0, hew_r = 0;
-        int64_t s_f = qh_windowed_score(pe, p_raw, plen, te, t_raw, tlen,
-                                        ws, ovl, thr1, &hew_f);
-        int64_t s_r = qh_windowed_score(per, pr, plen, ter, tr, tlen,
-                                        ws, ovl, thr1, &hew_r);
+        int64_t s_f, s_r;
+        /* the forward and reversed-pair passes are independent; when
+         * this pair owns spare threads (intra > 1: the batch has fewer
+         * pairs than the pool), run the reverse pass concurrently —
+         * the passes are the whole stage-2 wall for a single long pair */
+        qh_ws_job_t rj = {per, pr, plen, ter, tr, tlen, ws, ovl, thr1,
+                          0, 0};
+        pthread_t rt;
+        int threaded = (intra > 1)
+            && pthread_create(&rt, NULL, qh_ws_job_thread, &rj) == 0;
+        s_f = qh_windowed_score(pe, p_raw, plen, te, t_raw, tlen,
+                                ws, ovl, thr1, &hew_f);
+        if (threaded) {
+            pthread_join(rt, NULL);
+            s_r = rj.score;
+            hew_r = rj.hew;
+        } else {
+            s_r = qh_windowed_score(per, pr, plen, ter, tr, tlen,
+                                    ws, ovl, thr1, &hew_r);
+        }
         score = s_f < s_r ? s_f : s_r;
         int64_t hw = hew_f;
         if (score >= s_r) hw = hew_r;
