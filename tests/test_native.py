@@ -363,3 +363,53 @@ def test_encode_dna_cold_process_thread_race_deep(tmp_path):
     r = subprocess.run([str(exe), native._LIB_PATH, "4000"],
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_native_wavefront_adaptive_under_bursty_load():
+    """The load-adaptive wavefront's mid-call strip shrink/grow path
+    (round 5): CPU bursts arrive and clear WHILE a threaded score runs,
+    forcing Tcap transitions (partition shrink, strip parking, grow-
+    back). Results must stay bit-exact with the serial kernel — quiet
+    test runs never exercise these transitions."""
+    import threading
+    import time
+
+    from quicked_tpu import native
+    from quicked_tpu.dna import encode
+
+    if not native.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    import numpy as np
+    rng = np.random.default_rng(17)
+    n = 150_000
+    p = rng.integers(0, 4, n).astype(np.uint8)
+    t = p.copy()
+    idx = rng.integers(0, n, n // 12)
+    t[idx] = (t[idx] + 1 + rng.integers(0, 3, idx.size)) % 4
+    cutoff = n * 15 // 100
+
+    stop = threading.Event()
+
+    def bursty():
+        # ~15 ms CPU bursts with ~10 ms gaps, two burners
+        while not stop.is_set():
+            end = time.perf_counter() + 0.015
+            x = 0
+            while time.perf_counter() < end:
+                x += 1
+            time.sleep(0.01)
+
+    burners = [threading.Thread(target=bursty) for _ in range(2)]
+    for b in burners:
+        b.start()
+    try:
+        want = native.banded_score(p, t, cutoff, n, n)
+        for rep in range(3):
+            got = native.banded_score(p, t, cutoff, n, n, n_threads=4)
+            assert got == want, rep
+    finally:
+        stop.set()
+        for b in burners:
+            b.join()
