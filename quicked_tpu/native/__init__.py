@@ -723,7 +723,6 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
     lengths = np.empty(2 * n, dtype=np.int64)
     lengths[0::2] = np.fromiter(map(len, patterns), np.int64, n)
     lengths[1::2] = np.fromiter(map(len, texts), np.int64, n)
-    buf = _pack_pairs_interleaved(patterns, texts)
     offsets = np.zeros(2 * n, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
 
@@ -738,28 +737,53 @@ def quicked_batch(patterns, texts, *, bandwidth: int, window_size: int,
     if total_bases > 1 << 18:
         _ensure_prefault()
     if n > 1 and total_bases > 2 * chunk_bases:
+        # Pipelined chunks: chunk k's GIL-held marshal (join + encode,
+        # ~25 ms/10 MB) runs on this thread WHILE chunk k-1's C call
+        # aligns on a worker — qh_quicked_batch releases the GIL, so
+        # the only serial Python left is the first chunk's marshal.
+        from concurrent.futures import ThreadPoolExecutor
+
         status = np.zeros(n, dtype=np.int64)
         scores = np.zeros(n, dtype=np.int64)
-        segs: list = []
         pair_bases = lengths[0::2] + lengths[1::2]
+        ranges = []
         lo = 0
         while lo < n:
             hi, acc = lo, 0
             while hi < n and (hi == lo or acc < chunk_bases):
                 acc += int(pair_bases[hi])
                 hi += 1
-            c_st, c_sc, c_seg = _quicked_batch_run(
-                lib, buf, offsets[2 * lo:2 * hi],
-                lengths[2 * lo:2 * hi],
-                bandwidth=bandwidth, window_size=window_size,
-                overlap_size=overlap_size, hew_threshold=hew_threshold,
-                hew_percentage=hew_percentage, budget=budget,
-                n_threads=n_threads, rle=rle)
-            status[lo:hi] = c_st
-            scores[lo:hi] = c_sc
-            segs.append(c_seg)
+            ranges.append((lo, hi))
             lo = hi
+        segs: list = [None] * len(ranges)
+
+        def collect(k, fut):
+            c_st, c_sc, c_seg = fut.result()
+            l0, h0 = ranges[k]
+            status[l0:h0] = c_st
+            scores[l0:h0] = c_sc
+            segs[k] = c_seg
+
+        with ThreadPoolExecutor(1) as ex:
+            fut, fut_k = None, -1
+            for k, (lo, hi) in enumerate(ranges):
+                cbuf = _pack_pairs_interleaved(patterns[lo:hi],
+                                               texts[lo:hi])
+                coffs = offsets[2 * lo:2 * hi] - offsets[2 * lo]
+                if fut is not None:
+                    collect(fut_k, fut)
+                fut = ex.submit(
+                    _quicked_batch_run, lib, cbuf, coffs,
+                    lengths[2 * lo:2 * hi],
+                    bandwidth=bandwidth, window_size=window_size,
+                    overlap_size=overlap_size,
+                    hew_threshold=hew_threshold,
+                    hew_percentage=hew_percentage, budget=budget,
+                    n_threads=n_threads, rle=rle)
+                fut_k = k
+            collect(fut_k, fut)
         return status, scores, LazyOpsList(segs)
+    buf = _pack_pairs_interleaved(patterns, texts)
     st, sc, seg = _quicked_batch_run(
         lib, buf, offsets, lengths, bandwidth=bandwidth,
         window_size=window_size, overlap_size=overlap_size,
