@@ -39,6 +39,7 @@ def main():
         base = json.load(f)
 
     pinned = {}
+    pinned_bases = {}
     for w, name in run_workloads.WORKLOAD_NAMES.items():
         pairs = run_workloads.WORKLOAD_PAIRS[w]()
         if pairs is None:
@@ -49,6 +50,9 @@ def main():
             return 1
         med = statistics.median(ts)
         pinned[name] = round(med, 3)
+        # dataset identity: a --scale run must not divide the pinned
+        # wall time by a differently-sized workload
+        pinned_bases[name] = sum(max(len(p), len(t)) for p, t in pairs)
         print(f"{name}: median {med:.3f}s  "
               f"spread {max(ts) - min(ts):.3f}s", file=sys.stderr)
 
@@ -68,7 +72,7 @@ def main():
         rates.append(r)
         print(f"headline edit-banded: {r / 1e6:.1f} Mb/s "
               f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
-    out = {"pinned_cpu_s": pinned}
+    out = {"pinned_cpu_s": pinned, "pinned_cpu_bases": pinned_bases}
     if rates:
         out["pinned_cpu_rate_bases_per_s"] = round(
             statistics.median(rates), 1)

@@ -88,14 +88,20 @@ def _trimmed_spread(xs):
     return (s[-2] - s[1]) if len(s) >= 5 else (s[-1] - s[0])
 
 
-def _pinned_cpu_s(name):
+def _pinned_cpu_s(name, bases):
     """BASELINE.json's pinned single-thread C reference wall time for
     this workload (measured once on a quiet host, benchmarks/
     pin_baseline.py) — the stable cross-round denominator; the same-run
-    denominator stays the decisive-scoreboard comparator."""
+    denominator stays the decisive-scoreboard comparator. Only valid
+    for the pinned dataset itself: a --scale run must not divide the
+    pinned wall time by a differently-sized workload."""
     try:
         with open(os.path.join(REPO, "BASELINE.json")) as f:
-            return json.load(f).get("pinned_cpu_s", {}).get(name)
+            base = json.load(f)
+        pb = base.get("pinned_cpu_bases", {}).get(name)
+        if pb is not None and pb != bases:
+            return None
+        return base.get("pinned_cpu_s", {}).get(name)
     except Exception:
         return None
 
@@ -180,7 +186,7 @@ def _timed(name, pairs, warm_pairs=None, with_cpu=True):
         row["decisive"] = bool(
             (margin > row["warm_spread_trim_s"]
              and margin > row["cpu_spread_trim_s"]) or sweep)
-    pinned = _pinned_cpu_s(name)
+    pinned = _pinned_cpu_s(name, bases)
     if pinned:
         row["cpu_s_pinned"] = pinned
         row["speedup_vs_cpu_pinned"] = round(pinned / warm, 2)

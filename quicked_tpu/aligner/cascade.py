@@ -493,8 +493,7 @@ def _cascade_staged(pairs, params: QuickedParams, timers) -> CascadeResult:
             # the wider band's). Cap-limited only (ws bound > bw cap):
             # on uniform noise the bound is near-tight and a trial
             # would almost always miss (measured true/cut ~ 1.0).
-            import os as _os
-            if _os.environ.get("QUICKED_TPU_NO_BAND_TRIAL") != "1":
+            if os.environ.get("QUICKED_TPU_NO_BAND_TRIAL") != "1":
                 trial = [i for i in harder
                          if score[i] > cut[i] and cut[i] >= 4096
                          and cut[i] * 5 // 8

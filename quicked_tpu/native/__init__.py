@@ -357,8 +357,13 @@ def traceback_banded_batch(mats_tiled, lanes: int, praws: list,
     pv_lo, pv_hi, mv_lo, mv_hi = mats_tiled
     P, T, ebb, nlanes = pv_lo.shape
     assert nlanes == lanes
-    praws = [p.encode("ascii") if isinstance(p, str) else p for p in praws]
-    traws = [t.encode("ascii") if isinstance(t, str) else t for t in traws]
+    # dna-text semantics like _seqs_as_bytes: non-ASCII buckets to the
+    # replacement byte ('?' -> N) instead of raising — the same input
+    # must not succeed or crash depending on lane routing
+    praws = [p.encode("ascii", "replace") if isinstance(p, str) else p
+             for p in praws]
+    traws = [t.encode("ascii", "replace") if isinstance(t, str) else t
+             for t in traws]
     n = len(praws)
     pat_len = np.fromiter((len(p) for p in praws), np.int64, n)
     txt_len = np.fromiter((len(t) for t in traws), np.int64, n)

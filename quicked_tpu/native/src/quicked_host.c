@@ -817,6 +817,10 @@ static void qh_bmt_work(qh_bmt_t *c, int s) {
                     hi = __atomic_load_n(&c->s_lo[s + 1],
                                          __ATOMIC_RELAXED) - 1;
                 }
+                /* the relaxed data loads must complete before the v2
+                 * validation load on weakly-ordered ISAs — without the
+                 * fence a torn partition could pass v1 == v2 */
+                __atomic_thread_fence(__ATOMIC_ACQUIRE);
                 int64_t v2 = __atomic_load_n(&c->pver, __ATOMIC_SEQ_CST);
                 if (v2 == v1) {
                     if (v1 / 2 > k) {
@@ -945,14 +949,16 @@ static int64_t qh_banded_score_n(
     /* never oversubscribe: the wavefront needs every strip runnable */
     long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
     if (ncpu > 0 && Tmt > ncpu) Tmt = (int)ncpu;
-    /* spawn the full strip set; the entry load sample only seeds the
-     * live cap (Tcap), so a call that starts on a busy host can still
-     * grow back to Tmt strips when the load clears mid-call (parked
-     * strips sleep, they don't burn the freed cores) */
-    const char *noadapt = getenv("QUICKED_TPU_NO_ADAPT");
-    int adapt_on = !(noadapt && noadapt[0] == '1');
-    int tcap0 = (Tmt > 1 && adapt_on) ? qh_adaptive_cap(Tmt) : Tmt;
     if (Tmt > 1 && !fsc && text_block >= 8 && last - first + 1 >= 48) {
+        /* spawn the full strip set; the entry load sample only seeds
+         * the live cap (Tcap), so a call that starts on a busy host
+         * can still grow back to Tmt strips when the load clears
+         * mid-call (parked strips sleep, they don't burn the freed
+         * cores). The sample (two /proc/stat reads + up to 100 us)
+         * runs only here — short serial-path calls must not pay it. */
+        const char *noadapt = getenv("QUICKED_TPU_NO_ADAPT");
+        int adapt_on = !(noadapt && noadapt[0] == '1');
+        int tcap0 = adapt_on ? qh_adaptive_cap(Tmt) : Tmt;
         /* threaded wavefront over full 64-column blocks */
         qh_bmt_t *bc = (qh_bmt_t *)calloc(1, sizeof(qh_bmt_t));
         if (bc) {
